@@ -1,0 +1,1 @@
+from nexlt_spark.index.build import InvertedIndex, build_index  # noqa: F401

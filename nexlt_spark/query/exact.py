@@ -1,0 +1,211 @@
+"""Exact BM25 query path — postings lookup → column-algebra scoring → top-k.
+
+Spark transposition of the reference's /select lifecycle (SURVEY.md §3.1):
+q/fq parse → filter intersection → scorer over postings → top-k collector
+→ stored-field fetch. Here:
+
+- term lookup   = postings.where(term isin qterms)          [Q1]
+- fq filters    = left-semi join against the filtered doc set [SO1-SO3]
+- scoring       = pure Column algebra (no UDF), contributions folded in
+                  term-sorted order for deterministic float summation
+- top-k         = orderBy(score desc, doc_id asc).limit(k) →
+                  TakeOrderedAndProject (per-partition heap + driver
+                  merge — the Lucene priority-queue collector analog)
+- fetch         = broadcast join of the tiny top-k set into documents
+                  (documentCache/fl analog, solrconfig.xml:555, Q11)
+
+idf comes from a driver-side Python math.log over exact (N, df) ints —
+see nexlt_spark.scoring for why (rank-identity across runtimes).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexlt_spark.analysis import tokenize
+from nexlt_spark.index.build import InvertedIndex
+from nexlt_spark.query.model import Query, QueryFilters
+from nexlt_spark.scoring import contribution_col, idf
+
+EMPTY_SCORED_SCHEMA = "doc_id long, score double"
+
+
+def analyze_terms(raw: List[str]) -> List[str]:
+    """Run query terms through the shared analyzer (Q7: same chain both
+    sides, schema.xml:241,293 stemming-at-both-ends analog)."""
+    out: List[str] = []
+    for r in raw:
+        out.extend(tokenize(r))
+    return out
+
+
+def filter_documents(documents: DataFrame, f: QueryFilters, exists: bool = False) -> DataFrame:
+    """Apply conjunctive fq filters to the documents table (SO1/SO2/F4)."""
+    d = documents
+    if f.roles:
+        d = d.where(F.col("role").isin(list(f.roles)))
+    if f.tools:
+        d = d.where(F.col("tool").isin(list(f.tools)))
+    if f.conv_ids:
+        d = d.where(F.col("conv_id").isin(list(f.conv_ids)))
+    if f.ts_from:
+        d = d.where(F.col("ts") >= F.to_timestamp(F.lit(f.ts_from)))
+    if f.ts_to:
+        d = d.where(F.col("ts") < F.to_timestamp(F.lit(f.ts_to)))
+    if exists:
+        d = d.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    return d
+
+
+def score_postings(
+    index: InvertedIndex,
+    terms: List[str],
+    mode: str = "or",
+    doc_filter: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(doc_id, score) for a term query. Deterministic float fold.
+
+    doc_filter: optional DataFrame with a doc_id column; candidates are
+    restricted via left-semi join (non-scoring fq semantics — filters
+    never change scores, matching Solr).
+    """
+    spark = index.postings.sparkSession
+    qterms = sorted(set(terms))
+    dfs = index.term_dfs(qterms)
+    present = [t for t in qterms if t in dfs]
+    if not present or (mode == "and" and len(present) < len(qterms)):
+        return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+
+    n = index.stats.n_docs
+    avgdl = index.stats.avgdl
+    idfs = {t: idf(n, dfs[t]) for t in present}
+
+    p = index.postings.where(F.col("term").isin(present))
+    if doc_filter is not None:
+        p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+
+    idf_col = F.create_map(
+        *chain.from_iterable((F.lit(t), F.lit(idfs[t])) for t in present)
+    )[F.col("term")]
+    contrib = contribution_col(idf_col, F.col("tf"), F.col("dl"), avgdl)
+
+    g = p.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("term"), contrib.alias("c")))).alias("cs")
+    )
+    if mode == "and":
+        g = g.where(F.size("cs") == len(present))
+    return g.select(
+        "doc_id",
+        F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
+    )
+
+
+def phrase_candidates(documents: DataFrame, phrase_tokens: List[str]) -> DataFrame:
+    """doc_ids whose token stream contains the phrase as adjacent tokens.
+
+    v1 strategy per SURVEY.md §7.4: token-AND candidates then exact
+    adjacency verification — done with pure column ops on the re-tokenized
+    text: ' '+join(tokens)+' ' contains ' '+join(phrase)+' '. Exact w.r.t.
+    the shared tokenizer; a positions table is the scale upgrade path.
+    """
+    from nexlt_spark.analysis import tokenize_udf_col
+
+    joined = F.concat(F.lit(" "), F.array_join(tokenize_udf_col(F.col("text")), " "), F.lit(" "))
+    needle = " " + " ".join(phrase_tokens) + " "
+    return documents.where(F.instr(joined, needle) > 0).select("doc_id")
+
+
+def paginate(df: DataFrame, sort_cols, start: int, k: int) -> DataFrame:
+    """Offset pagination O5: limit(start+k) then window row_number on the
+    tiny limited set (never a global single-partition sort of the full
+    result — the limit runs as TakeOrderedAndProject first)."""
+    top = df.orderBy(*sort_cols).limit(start + k)
+    if start == 0:
+        return top
+    w = Window.orderBy(*sort_cols)
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > start)
+        .drop("_rn")
+    )
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    documents: DataFrame,
+    q: Query,
+) -> DataFrame:
+    """Relevance-ranked top-k: (doc_id, score, …fl columns)."""
+    terms = analyze_terms(q.terms)
+    if q.phrase:
+        terms = terms + [t for t in tokenize(q.phrase) if t not in terms]
+        mode = "and"
+    else:
+        mode = q.mode
+
+    doc_filter = None
+    if not q.filters.is_empty() or q.exists:
+        doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
+    if q.phrase:
+        ph = phrase_candidates(
+            documents if doc_filter is None else documents.join(doc_filter, "doc_id", "left_semi"),
+            tokenize(q.phrase),
+        )
+        doc_filter = ph
+
+    scored = score_postings(index, terms, mode, doc_filter)
+    sort_cols = [F.col("score").desc(), F.col("doc_id").asc()]
+    topk = paginate(scored, sort_cols, q.start, q.k)
+
+    fl = q.fl or [c for c in documents.columns if c != "doc_id"]
+    fetched = documents.join(F.broadcast(topk), "doc_id").select(
+        "doc_id", "score", *fl
+    )
+    # re-sort after the fetch join (joins don't preserve order)
+    return fetched.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame:
+    """Dispatch over the full query surface (SURVEY.md §2.7)."""
+    spark = documents.sparkSession
+
+    # match-all / count-only: numFound (A6)
+    if q.count_only:
+        base = filter_documents(documents, q.filters, q.exists)
+        if q.terms:
+            terms = analyze_terms(q.terms)
+            scored = score_postings(index, terms, q.mode, base.select("doc_id"))
+            return scored.agg(F.count(F.lit(1)).alias("num_found"))
+        return base.agg(F.count(F.lit(1)).alias("num_found"))
+
+    # non-relevance sort (O2): sort=srclc asc etc., reference appends
+    # srclc asc as final tiebreak (solrTestLib_v2.js:83-96); we append
+    # doc_id asc for total determinism.
+    if q.sort:
+        base = filter_documents(documents, q.filters, q.exists)
+        if "text_lc" not in base.columns:
+            base = base.withColumn("text_lc", F.lower(F.col("text")))
+        if q.terms:
+            terms = analyze_terms(q.terms)
+            scored = score_postings(index, terms, q.mode, base.select("doc_id"))
+            base = base.join(scored.select("doc_id"), "doc_id", "left_semi")
+        if q.phrase:
+            base = base.join(phrase_candidates(base, tokenize(q.phrase)), "doc_id", "left_semi")
+        cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in q.sort]
+        if not any(c == "text_lc" for c, _ in q.sort):
+            cols.append(F.col("text_lc").asc())
+        cols.append(F.col("doc_id").asc())
+        fl = q.fl or [c for c in base.columns]
+        return paginate(base, cols, q.start, q.k).select(*fl)
+
+    if not q.terms and not q.phrase:
+        # pure filter query (existence etc.): deterministic doc_id order
+        base = filter_documents(documents, q.filters, q.exists)
+        fl = q.fl or base.columns
+        return paginate(base, [F.col("doc_id").asc()], q.start, q.k).select(*fl)
+
+    return bm25_topk(index, documents, q)

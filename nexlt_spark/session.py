@@ -1,0 +1,53 @@
+"""SparkSession construction with the engine's standard configuration.
+
+The reference runs one Solr JVM with hand-tuned batch sizes
+(solrconfig.xml autoCommit, AthenaExportMt.java:363 batch=500k). Our
+equivalents are Spark/AQE knobs set here once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "nexlt-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("NEXLT_SHUFFLE_PARTITIONS", "32"))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of small shuffle partitions + skew-join
+        # splitting; our explicit hot-term salting handles groupBy skew
+        # (SURVEY.md P6), AQE handles the rest.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere — all our UDFs are pandas_udf/applyInPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Deterministic timestamp behavior for parquet round-trips.
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("NEXLT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    from nexlt_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # spark-submit --py-files equivalence
+    return spark
