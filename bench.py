@@ -1,0 +1,141 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+- index-build throughput (turns/sec): synthetic transcripts (seeded,
+  deterministic, scaled to the sf) → flatten → inverted index, fully
+  materialized;
+- headline query latencies (sec, median of 3): the frozen reference
+  query shapes over the built index + the pipeline ops over the sf's
+  documents/events/embeddings tables.
+
+Scaling-efficiency evidence (north_rule N vs 4N) is produced by
+tools/bench_scaling.py (two fresh JVMs at local[8] / local[32]) and
+reported in BENCH.md — not here, to keep the per-round bench fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from nexlt_spark.session import get_spark
+from nexlt_spark.flatten import flatten_transcripts
+from nexlt_spark.index.build import build_index
+from nexlt_spark.query.exact import bm25_topk, run_query
+from nexlt_spark.query.model import Query, QueryFilters
+from nexlt_spark.synth import synth_transcripts
+from nexlt_spark.ops import dedup, similarity, textstats
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# transcripts corpus size scales with sf: sf0.1 → ~20k convs (~190k turns)
+N_CONVS = int(os.environ.get("NEXLT_BENCH_CONVS", "0")) or {
+    "sf0.001": 400, "sf0.01": 2000,
+}.get(os.path.basename(SF_DIR.rstrip("/")), 20000)
+REPEATS = int(os.environ.get("NEXLT_BENCH_REPEATS", "3"))
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def median_timed(fn, repeats=REPEATS):
+    return statistics.median(timed(fn) for _ in range(repeats))
+
+
+def main():
+    spark = get_spark(
+        app_name="nexlt-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+
+    # ---- index-build throughput ------------------------------------------
+    transcripts = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()  # materialize input outside the timer
+
+    t0 = time.perf_counter()
+    documents = flatten_transcripts(transcripts).persist()
+    idx = build_index(documents).persist()
+    # materialize everything the way a write would
+    idx.postings.count()
+    idx.term_stats.count()
+    documents.count()
+    build_sec = time.perf_counter() - t0
+    turns_per_sec = n_turns / build_sec
+
+    # ---- query latencies over the built index -----------------------------
+    queries = {
+        "q_term": lambda: bm25_topk(idx, documents, Query(terms=["error"], k=10)).collect(),
+        "q_hot_term": lambda: bm25_topk(idx, documents, Query(terms=["the"], k=10)).collect(),
+        "q_and": lambda: bm25_topk(
+            idx, documents, Query(terms=["run", "file"], mode="and", k=10)
+        ).collect(),
+        "q_or": lambda: bm25_topk(
+            idx, documents, Query(terms=["spark", "index", "merge"], mode="or", k=10)
+        ).collect(),
+        "q_phrase": lambda: bm25_topk(idx, documents, Query(phrase="the run", k=10)).collect(),
+        "q_filtered": lambda: bm25_topk(
+            idx,
+            documents,
+            Query(terms=["data"], filters=QueryFilters(roles=["user", "assistant"]), k=10),
+        ).collect(),
+        "q_sorted": lambda: run_query(
+            idx, documents, Query(terms=["table"], sort=[("text_lc", "asc")], k=50)
+        ).collect(),
+        "q_count": lambda: run_query(
+            idx, documents, Query(terms=["value"], count_only=True)
+        ).collect(),
+    }
+
+    # ---- pipeline ops over the sf tables ----------------------------------
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb_tbl = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb_tbl.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    queries.update(
+        {
+            "op_dedup_fp": lambda: dedup.fingerprint_duplicate_groups(docs_tbl, n_tokens=2).collect(),
+            "op_token_stats": lambda: textstats.token_stats_by(docs_tbl, "lang").collect(),
+            "op_ann_cosine": lambda: similarity.cosine_topk(emb_tbl, qv, k=10).collect(),
+        }
+    )
+
+    per_query = {}
+    for name, fn in queries.items():
+        fn()  # warm (plans, broadcast, code-gen)
+        per_query[name] = round(median_timed(fn), 4)
+
+    total = round(sum(per_query.values()), 4)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "build": {
+            "n_turns": n_turns,
+            "build_sec": round(build_sec, 3),
+            "turns_per_sec": round(turns_per_sec, 1),
+            "n_postings": idx.postings.count(),
+            "n_terms": idx.term_stats.count(),
+        },
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

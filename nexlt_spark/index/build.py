@@ -77,27 +77,88 @@ def tokenized(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def build_index(documents: DataFrame, doc_id_col: str = "doc_id") -> InvertedIndex:
+RAW_SCHEMA = "term string, doc_id long, tf int, dl int"
+_SENTINEL = ""  # the tokenizer regex never yields an empty string
+
+
+def _emit_postings(doc_id_col: str, text_col: str):
+    """mapInPandas kernel: documents batch → pre-aggregated posting rows.
+
+    One vectorized pass per Arrow batch: tokenize (pandas .str chain, same
+    ops as nexlt_spark.analysis.tokenize), flatten via itertools.chain
+    (C-speed), tf via pandas groupby(doc, term).size() — i.e. the map-side
+    combine happens HERE, in numpy/pandas, so the explode shuffle of one
+    row per token never exists. Each doc additionally emits one sentinel
+    row (term='', tf=0, dl) carrying its length — doc_stats for free,
+    including dl=0 docs.
+    """
+    from itertools import chain
+
+    import numpy as np
+    import pandas as pd
+
+    from nexlt_spark.analysis import TOKEN_RE
+
+    def emit(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids = pdf[doc_id_col].to_numpy()
+            toks = (
+                pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(TOKEN_RE)
+            )
+            lens = toks.str.len().to_numpy()
+            flat_terms = list(chain.from_iterable(toks))
+            rep_docs = np.repeat(doc_ids, lens)
+            rep_dl = np.repeat(lens, lens)
+            tf = (
+                pd.DataFrame({"term": flat_terms, "doc_id": rep_docs, "dl": rep_dl})
+                .groupby(["doc_id", "term"], sort=False)
+                .agg(tf=("dl", "size"), dl=("dl", "first"))
+                .reset_index()
+            )
+            sent = pd.DataFrame(
+                {
+                    "term": _SENTINEL,
+                    "doc_id": doc_ids,
+                    "tf": np.zeros(len(doc_ids), dtype=np.int32),
+                    "dl": lens,
+                }
+            )
+            if len(tf):
+                out = pd.concat([sent, tf[["term", "doc_id", "tf", "dl"]]], ignore_index=True)
+            else:
+                out = sent
+            out["tf"] = out["tf"].astype("int32")
+            out["dl"] = out["dl"].astype("int32")
+            yield out
+
+    return emit
+
+
+def build_index(
+    documents: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_raw: bool = True,
+) -> InvertedIndex:
     """Build the flat inverted index from a documents DataFrame.
 
-    ``documents`` needs (doc_id, text). The heavy lifting is two shuffles:
-    one hash-agg by (term, doc_id) for tf (with map-side combine), one by
-    term for df. dl rides along in the tf group key (functionally
-    dependent on doc_id) so no postings⋈doc_stats join is ever needed.
+    Single tokenizer pass (mapInPandas, Arrow-batched, vectorized pandas —
+    no per-row Python at the Spark level), already aggregated per
+    (doc, term): the only shuffle in the whole build is the small
+    groupBy(term) for df. At production scale, ``persist_raw`` becomes a
+    write of the raw posting rows to the staging table instead of a
+    cache (see index.checkpoint for the resumable form).
     """
-    toks = tokenized(documents).select(
-        F.col(doc_id_col).alias("doc_id"), "tokens", "dl"
+    raw = documents.select(doc_id_col, text_col).mapInPandas(
+        _emit_postings(doc_id_col, text_col), schema=RAW_SCHEMA
     )
+    if persist_raw:
+        raw = raw.persist()
 
-    doc_stats = toks.select("doc_id", "dl")
-
-    postings = (
-        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("term", "doc_id", F.col("tf").cast("int").alias("tf"), "dl")
-    )
-
+    postings = raw.where(F.col("term") != _SENTINEL)
+    doc_stats = raw.where(F.col("term") == _SENTINEL).select("doc_id", "dl")
     term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     agg = doc_stats.agg(

@@ -1,0 +1,85 @@
+"""Ingest-side operators: the reference indexers' dataflow, Spark-first.
+
+Each maps to a SURVEY.md §2.2/2.3/2.6 row (file:line cited per function).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(df: DataFrame, key_cols: Sequence[str], order_col: str, tiebreak_col: str) -> DataFrame:
+    """Last-write-wins upsert semantics (SO5; schema.xml:1030-1033
+    uniqueKey re-add replaces doc): keep the newest row per key.
+
+    row_number over (key) ordered by (order desc, tiebreak desc) — one
+    shuffle by key; at scale this is the standard MERGE INTO reduction.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc(), F.col(tiebreak_col).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def date_window_filter(
+    df: DataFrame, ts_col: str, start: str, end: str, alt_ts_col: Optional[str] = None
+) -> DataFrame:
+    """Date-range predicate with optional OR-alternate-date column
+    (AthenaExportMt.java:314-328: creation OR edit date in window)."""
+    t = (F.col(ts_col) >= F.to_timestamp(F.lit(start))) & (F.col(ts_col) < F.to_timestamp(F.lit(end)))
+    if alt_ts_col:
+        a = (F.col(alt_ts_col) >= F.to_timestamp(F.lit(start))) & (
+            F.col(alt_ts_col) < F.to_timestamp(F.lit(end))
+        )
+        t = t | a
+    return df.where(t)
+
+
+def dim_lookup_with_fallback(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    value_col: str,
+    default: str,
+) -> DataFrame:
+    """Broadcast lookup join with default fallback (J1: productsMap memo
+    cache + 'MARKETING' default, AthenaExportMt.java:408-451)."""
+    joined = facts.join(F.broadcast(dim), key, "left")
+    return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(default)))
+
+
+def code_normalize(col, mapping: Dict[str, str], strip_prefix: Optional[str] = None):
+    """Product-code normalization (F6: strip RENT_ prefix, PlDS→PLDS map,
+    AthenaExportMt.java:400-406) as a single CASE expression."""
+    c = col
+    if strip_prefix:
+        c = F.regexp_replace(c, f"^{strip_prefix}", "")
+    expr = None
+    for k, v in mapping.items():
+        cond = c == k
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    return expr.otherwise(c) if expr is not None else c
+
+
+def scrub_and_project(docs: DataFrame) -> DataFrame:
+    """The reference's per-row ingest transform bundle over documents:
+    newline scrub (F7), lowercase projection (F15, srclc), id synthesis
+    (F16), length cap (F10, parseJSON.pl:313: drop >5000 chars)."""
+    return (
+        docs.where(F.col("text").isNotNull() & (F.length("text") <= 5000))
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("doc_key"),
+            F.regexp_replace(F.col("text"), r"[\n\r]", " ").alias("text"),
+            F.lower(F.col("text")).alias("text_lc"),
+        )
+    )
+
+
+def collect_multivalued(df: DataFrame, key: str, value: str, out_col: str) -> DataFrame:
+    """A1: accumulate multi-valued field per key (productname JSON array,
+    AthenaExportMt.java:429-440) — deterministic sorted-distinct form."""
+    return df.groupBy(key).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set(F.col(value)))).alias(out_col)
+    )

@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure Column algebra —
+F.aggregate/F.zip_with fold, JVM-side, no UDF), and an LSH-bucketed
+variant (random-hyperplane signs) as the scale path: at 10^12 rows the
+brute force is a full scan per query; the LSH variant prunes to one
+bucket join.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_literal(vec_col, q: Sequence[float]):
+    """Sequential left-to-right fold: Σ_i vec[i]*q[i] in index order —
+    deterministic float summation (same order as a Python loop)."""
+    acc = F.lit(0.0)
+    for i, qi in enumerate(q):
+        acc = acc + vec_col.getItem(i).cast("double") * F.lit(float(qi))
+    return acc
+
+
+def _norm(vec_col, dim: int):
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = vec_col.getItem(i).cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, cos) — TakeOrderedAndProject.
+
+    Unrolled per-dimension column expressions keep everything inside
+    whole-stage codegen; dims are small (embedding tables are wide-row,
+    not wide-vector).
+    """
+    import math
+
+    dim = len(query_vec)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = F.col(vec_col)
+    cos = _dot_with_literal(v, query_vec) / (_norm(v, dim) * F.lit(qnorm))
+    out = embeddings.select(F.col(id_col), cos.alias("cos"))
+    if exclude_ids:
+        out = out.where(~F.col(id_col).isin(list(exclude_ids)))
+    return out.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    planes: List[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = bit-string of sign(v·p) per plane.
+
+    Deterministic given the plane literals (caller derives them from a
+    seed). Candidate search joins on bucket equality then exact-rescoring
+    — turns a full-scan into a hash-partition-pruned join at scale.
+    """
+    bits = [
+        F.when(_dot_with_literal(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return embeddings.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    planes: List[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-pruned cosine top-k (approximate: same-bucket candidates)."""
+    sigs = hyperplane_signatures(embeddings, planes, id_col, vec_col)
+    qbits = "".join(
+        "1" if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0 else "0"
+        for p in planes
+    )
+    cands = sigs.where(F.col("bucket") == qbits).drop("bucket")
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
