@@ -1,0 +1,198 @@
+"""Blocked (compressed) postings: build, store, and query-time decode.
+
+Physical layout (SURVEY.md M3 / north_star):
+
+- one DataFrame row per posting **block** (≤128 postings): docID-sorted,
+  delta+varint doc_ids, varint tfs/dls, per-block max tf_norm — the
+  Lucene segment/skip-list analog, re-expressed as a columnar table;
+- **hot-term salting**: terms with df > salt_threshold are split into
+  doc_id-range runs (rsalt = doc_id >> range_shift) BEFORE the
+  groupBy(term, rsalt).applyInPandas encode, so no single task ever
+  holds a full Zipf-head posting list (SURVEY.md P6 — the reference's
+  per-language threads are the hand-rolled version of this);
+  ranges are disjoint ⇒ the global list is the rsalt-ordered
+  concatenation, no second merge pass needed;
+- on disk: parquet partitioned by term_bucket = pmod(xxhash64(term), B)
+  (the Iceberg bucket(term) transform stand-in) ⇒ query-term lookups
+  prune to one directory per term.
+
+Query-time decode is mapInPandas over only the selected terms' block
+rows — numpy decode, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexlt_spark.index.build import IndexStats, InvertedIndex
+from nexlt_spark.index.codec import BLOCK_SIZE, decode_block, encode_blocks
+from nexlt_spark.scoring import B as B_PARAM
+from nexlt_spark.scoring import K1, K1_PLUS_1, ONE_MINUS_B
+
+BLOCKS_SCHEMA = (
+    "term string, rsalt long, block_id int, n int, first_doc_id long, "
+    "last_doc_id long, doc_ids binary, tfs binary, dls binary, max_tfnorm double"
+)
+DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
+
+DEFAULT_SALT_THRESHOLD = 100_000  # df above which a term is range-salted
+DEFAULT_RANGE_SHIFT = 16  # salted run ≈ 65k docIDs of range
+
+
+def _encode_group(avgdl: float, block_size: int = BLOCK_SIZE):
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.uint64)
+        tfs = pdf["tf"].to_numpy(np.uint64)
+        dls = pdf["dl"].to_numpy(np.uint64)
+        tfd = tfs.astype(np.float64)
+        dld = dls.astype(np.float64)
+        # same op order as scoring.tf_norm, vectorized
+        tfn = (tfd * K1_PLUS_1) / (tfd + K1 * (ONE_MINUS_B + (B_PARAM * dld) / avgdl))
+        rows = encode_blocks(ids, tfs, dls, tfn, block_size)
+        term = pdf["term"].iloc[0]
+        rsalt = int(pdf["rsalt"].iloc[0])
+        return pd.DataFrame(
+            [(term, rsalt) + r for r in rows],
+            columns=[
+                "term", "rsalt", "block_id", "n", "first_doc_id", "last_doc_id",
+                "doc_ids", "tfs", "dls", "max_tfnorm",
+            ],
+        )
+
+    return encode
+
+
+def build_blocks(
+    index: InvertedIndex,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    range_shift: int = DEFAULT_RANGE_SHIFT,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """Flat postings → blocked postings DataFrame (one row per block)."""
+    hot = [
+        r["term"]
+        for r in index.term_stats.where(F.col("df") > salt_threshold).select("term").collect()
+    ]
+    p = index.postings
+    if hot:
+        rsalt = F.when(
+            F.col("term").isin(hot), F.shiftright(F.col("doc_id"), range_shift)
+        ).otherwise(F.lit(0))
+    else:
+        rsalt = F.lit(0)
+    p = p.withColumn("rsalt", rsalt.cast("long"))
+    return p.groupBy("term", "rsalt").applyInPandas(
+        _encode_group(index.stats.avgdl, block_size), schema=BLOCKS_SCHEMA
+    )
+
+
+def decode_terms(blocks: DataFrame, terms: list[str]) -> DataFrame:
+    """Selected terms' blocks → flat (term, doc_id, tf, dl) rows."""
+    sel = blocks.where(F.col("term").isin(list(terms))).select(
+        "term", "n", "doc_ids", "tfs", "dls"
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            outs = []
+            for term, n, e_ids, e_tfs, e_dls in pdf.itertuples(index=False):
+                ids, tfs, dls = decode_block(bytes(e_ids), bytes(e_tfs), bytes(e_dls), int(n))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": ids.astype(np.int64),
+                            "tf": tfs.astype(np.int32),
+                            "dl": dls.astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return sel.mapInPandas(dec, schema=DECODED_SCHEMA)
+
+
+@dataclass
+class BlockedIndex:
+    """Query-facing index backed by the blocked postings table.
+
+    Implements the same protocol the exact query path uses on
+    InvertedIndex: stats, term_dfs(terms), lookup(terms).
+    """
+
+    blocks: DataFrame
+    doc_stats: DataFrame
+    term_stats: DataFrame
+    stats: IndexStats
+    n_buckets: int | None = None
+
+    def persist(self) -> "BlockedIndex":
+        self.blocks.persist()
+        self.term_stats.persist()
+        return self
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        rows = self.term_stats.where(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: r["df"] for r in rows}
+
+    def lookup(self, terms: list[str]) -> DataFrame:
+        b = self.blocks
+        if self.n_buckets and "term_bucket" in b.columns:
+            # push a partition filter: term_bucket ∈ {bucket(t) for t in terms}
+            tdf = self.term_stats.where(F.col("term").isin(list(terms)))
+            buckets = [r["term_bucket"] for r in tdf.select("term_bucket").distinct().collect()]
+            if buckets:
+                b = b.where(F.col("term_bucket").isin(buckets))
+        return decode_terms(b, terms)
+
+
+# --------------------------------------------------------------------------
+# On-disk store (parquet, bucket-partitioned — the Iceberg stand-in)
+# --------------------------------------------------------------------------
+
+
+def save_blocked_index(
+    index: InvertedIndex,
+    path: str,
+    n_buckets: int = 32,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    range_shift: int = DEFAULT_RANGE_SHIFT,
+) -> None:
+    blocks = build_blocks(index, salt_threshold, range_shift)
+    bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+    (
+        blocks.withColumn("term_bucket", bucket)
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings_blocks")
+    )
+    (
+        index.term_stats.withColumn("term_bucket", bucket)
+        .write.mode("overwrite")
+        .parquet(f"{path}/term_stats")
+    )
+    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.stats.n_docs, index.stats.total_tokens, n_buckets)],
+        "n_docs long, total_tokens long, n_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    return BlockedIndex(
+        blocks=spark.read.parquet(f"{path}/postings_blocks"),
+        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        stats=IndexStats(n_docs=st["n_docs"], total_tokens=st["total_tokens"]),
+        n_buckets=st["n_buckets"],
+    )

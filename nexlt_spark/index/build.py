@@ -69,6 +69,11 @@ class InvertedIndex:
         rows = self.term_stats.where(F.col("term").isin(list(terms))).collect()
         return {r["term"]: r["df"] for r in rows}
 
+    def lookup(self, terms: list[str]) -> DataFrame:
+        """Flat posting rows for the given terms (the exact query path's
+        postings provider; BlockedIndex implements the same protocol)."""
+        return self.postings.where(F.col("term").isin(list(terms)))
+
 
 def tokenized(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + tokens/dl columns (one Arrow batch pass)."""

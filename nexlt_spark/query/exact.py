@@ -73,7 +73,7 @@ def score_postings(
     restricted via left-semi join (non-scoring fq semantics — filters
     never change scores, matching Solr).
     """
-    spark = index.postings.sparkSession
+    spark = index.doc_stats.sparkSession
     qterms = sorted(set(terms))
     dfs = index.term_dfs(qterms)
     present = [t for t in qterms if t in dfs]
@@ -84,7 +84,10 @@ def score_postings(
     avgdl = index.stats.avgdl
     idfs = {t: idf(n, dfs[t]) for t in present}
 
-    p = index.postings.where(F.col("term").isin(present))
+    if hasattr(index, "lookup"):
+        p = index.lookup(present)
+    else:
+        p = index.postings.where(F.col("term").isin(present))
     if doc_filter is not None:
         p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
 
