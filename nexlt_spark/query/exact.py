@@ -61,6 +61,36 @@ def filter_documents(documents: DataFrame, f: QueryFilters, exists: bool = False
     return d
 
 
+def idf_map_col(idfs: dict):
+    """term → idf literal map Column (driver-computed floats, see scoring)."""
+    return F.create_map(
+        *chain.from_iterable((F.lit(t), F.lit(v)) for t, v in idfs.items())
+    )[F.col("term")]
+
+
+def fold_scores(
+    p: DataFrame,
+    idfs: dict,
+    avgdl: float,
+    n_required: Optional[int] = None,
+) -> DataFrame:
+    """(term, doc_id, tf, dl) rows → (doc_id, score). THE deterministic
+    float fold shared by the exact path and the WAND rescore: per-doc
+    contributions are collected, sorted by term, and summed left-to-right
+    (SURVEY.md §7.4 rank-identity-under-floats). n_required: AND-mode
+    arity check (doc must match all terms)."""
+    contrib = contribution_col(idf_map_col(idfs), F.col("tf"), F.col("dl"), avgdl)
+    g = p.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("term"), contrib.alias("c")))).alias("cs")
+    )
+    if n_required is not None:
+        g = g.where(F.size("cs") == n_required)
+    return g.select(
+        "doc_id",
+        F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
+    )
+
+
 def score_postings(
     index: InvertedIndex,
     terms: List[str],
@@ -91,20 +121,7 @@ def score_postings(
     if doc_filter is not None:
         p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
 
-    idf_col = F.create_map(
-        *chain.from_iterable((F.lit(t), F.lit(idfs[t])) for t in present)
-    )[F.col("term")]
-    contrib = contribution_col(idf_col, F.col("tf"), F.col("dl"), avgdl)
-
-    g = p.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct(F.col("term"), contrib.alias("c")))).alias("cs")
-    )
-    if mode == "and":
-        g = g.where(F.size("cs") == len(present))
-    return g.select(
-        "doc_id",
-        F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
-    )
+    return fold_scores(p, idfs, avgdl, len(present) if mode == "and" else None)
 
 
 def phrase_candidates(documents: DataFrame, phrase_tokens: List[str]) -> DataFrame:

@@ -1,0 +1,285 @@
+"""Block-Max WAND top-k over the blocked postings index (SURVEY.md M4).
+
+The reference's Lucene core collects top-k with a priority queue over
+doc-at-a-time scorers; modern Lucene prunes with Block-Max WAND using
+per-block max-score skip data (the `solrconfig.xml:151` codecFactory's
+postings format carries the skip lists). Our blocked table already
+stores the per-block metadata (`max_tfnorm`, `first_doc_id`,
+`last_doc_id`, codec in nexlt_spark.index.codec) — this module is the
+distributed BM-WAND that uses it.
+
+Distributed formulation (no doc-at-a-time cursor; set algebra instead):
+
+1. **θ probe** — decode only the globally highest-upper-bound blocks
+   (`ub = idf_t · max_tfnorm`, `orderBy(ub desc).limit(16·|T|)` =
+   TakeOrderedAndProject over block *metadata*, never postings), fold
+   partial scores. Partial sums of non-negative contributions are lower
+   bounds of exact scores, so θ = k-th best partial is a valid pruning
+   threshold.
+2. **Block pruning** — keep block b of term t iff
+   `ub_b + Σ_{t'≠t} gm_{t'} ≥ θ` (gm = per-term global max ub).
+   Any doc with exact score ≥ θ appears in ≥1 kept block: for its
+   argmax-contribution term t*, that block's ub dominates c_{t*} and
+   the other terms' gm dominate the rest.
+3. **Candidates** — docs of kept blocks (∩ fq doc_filter). Collected to
+   the driver iff ≤ candidate_cap (the Lucene collector analog —
+   driver-side orchestration of a bounded set); else exact fallback.
+4. **Exact rescore** — decode only blocks whose docID range intersects
+   the candidate *slices* (doc_id >> slice_shift; numpy searchsorted
+   inside mapInPandas — blocks that skip all candidate ranges are never
+   decoded), keep candidate rows, and fold with the SAME
+   `fold_scores` as the exact path ⇒ rank identity by construction.
+
+AND mode drives candidates from the rarest term (classic
+conjunction-by-smallest-list; `CGI/corpus.cgi:338` AND semantics): its
+postings are decoded in full, other terms only where slices intersect;
+arity is enforced on the full rescored rows, so θ-probing (whose OR
+partials would over-estimate the k-th AND score) is not needed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexlt_spark.index.blocks import DECODED_SCHEMA, BlockedIndex
+from nexlt_spark.index.codec import decode_block
+from nexlt_spark.query.exact import EMPTY_SCORED_SCHEMA, fold_scores, idf_map_col
+from nexlt_spark.scoring import idf
+
+DEFAULT_CANDIDATE_CAP = 500_000
+DEFAULT_SLICE_SHIFT = 12  # candidate-range granularity: 4096 docIDs
+PROBE_BLOCKS_PER_TERM = 16
+
+
+def _decode_filtered(
+    blocks: DataFrame,
+    keep_doc_ids: Optional[np.ndarray] = None,
+    slice_shift: int = DEFAULT_SLICE_SHIFT,
+) -> DataFrame:
+    """Decode block rows → (term, doc_id, tf, dl); optionally restricted.
+
+    keep_doc_ids: sorted int64 array. Blocks whose [first,last] docID
+    range intersects no candidate slice are SKIPPED (never decoded) —
+    this is the skip-list jump, vectorized over the Arrow batch; decoded
+    rows are then masked to exact candidate membership (np.isin on a
+    sorted array).
+    """
+    sel = blocks.select("term", "n", "first_doc_id", "last_doc_id", "doc_ids", "tfs", "dls")
+    if keep_doc_ids is not None:
+        slices = np.unique(keep_doc_ids >> np.int64(slice_shift))
+
+    def dec(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if keep_doc_ids is not None:
+                lo = pdf["first_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
+                hi = pdf["last_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
+                hits = np.searchsorted(slices, hi, "right") > np.searchsorted(slices, lo, "left")
+                pdf = pdf[hits]
+            outs = []
+            for term, n, _f, _l, e_ids, e_tfs, e_dls in pdf.itertuples(index=False):
+                ids, tfs, dls = decode_block(bytes(e_ids), bytes(e_tfs), bytes(e_dls), int(n))
+                ids = ids.astype(np.int64)
+                if keep_doc_ids is not None:
+                    m = np.isin(ids, keep_doc_ids, assume_unique=False)
+                    if not m.any():
+                        continue
+                    ids, tfs, dls = ids[m], tfs[m], dls[m]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": ids,
+                            "tf": tfs.astype(np.int32),
+                            "dl": dls.astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return sel.mapInPandas(dec, schema=DECODED_SCHEMA)
+
+
+def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: dict) -> DataFrame:
+    """Block rows for the query terms, bucket-pruned, with ub column."""
+    b = bidx.blocks
+    if bidx.n_buckets and "term_bucket" in b.columns:
+        buckets = sorted({_bucket(t, bidx.n_buckets) for t in present})
+        b = b.where(F.col("term_bucket").isin(buckets))
+    b = b.where(F.col("term").isin(present))
+    return b.withColumn("ub", idf_map_col(idfs) * F.col("max_tfnorm"))
+
+
+def _bucket(term: str, n_buckets: int) -> int:
+    """pmod(xxhash64(term), n_buckets) computed driver-side.
+
+    Matches Spark's xxhash64 (XXH64 over utf8 bytes, seed=42) used by
+    save_blocked_index, so term→bucket partition pruning needs no Spark
+    job (parity asserted in tests/test_wand.py)."""
+    return _xxh64(term.encode("utf-8"), 42) % n_buckets
+
+
+_PRIME64_1 = 0x9E3779B185EBCA87
+_PRIME64_2 = 0xC2B2AE3D27D4EB4F
+_PRIME64_3 = 0x165667B19E3779F9
+_PRIME64_4 = 0x85EBCA77C2B2AE63
+_PRIME64_5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _PRIME64_2) & _M
+    return (_rotl(acc, 31) * _PRIME64_1) & _M
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Pure-Python XXH64 (public algorithm, Yann Collet's spec)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _PRIME64_1 + _PRIME64_2) & _M
+        v2 = (seed + _PRIME64_2) & _M
+        v3 = seed & _M
+        v4 = (seed - _PRIME64_1) & _M
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _PRIME64_1 + _PRIME64_4) & _M
+    else:
+        h = (seed + _PRIME64_5) & _M
+    h = (h + n) & _M
+    while i <= n - 8:
+        h = ((_rotl(h ^ _round(0, int.from_bytes(data[i : i + 8], "little")), 27) * _PRIME64_1) + _PRIME64_4) & _M
+        i += 8
+    if i <= n - 4:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _PRIME64_1) & _M), 23) * _PRIME64_2) + _PRIME64_3) & _M
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _PRIME64_5) & _M), 11) * _PRIME64_1)) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _PRIME64_2) & _M
+    h ^= h >> 29
+    h = (h * _PRIME64_3) & _M
+    h ^= h >> 32
+    # Spark's xxhash64 yields a signed long; pmod makes it non-negative.
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return signed
+
+
+def wand_topk(
+    bidx: BlockedIndex,
+    terms: List[str],
+    k: int = 10,
+    mode: str = "or",
+    doc_filter: Optional[DataFrame] = None,
+    candidate_cap: int = DEFAULT_CANDIDATE_CAP,
+    slice_shift: int = DEFAULT_SLICE_SHIFT,
+    stats_out: Optional[dict] = None,
+) -> DataFrame:
+    """(doc_id, score) top-k via Block-Max WAND; ≡ exact path ranks+scores.
+
+    stats_out, when given, is filled with pruning telemetry
+    (theta, blocks_total, blocks_kept, n_candidates, fallback).
+    """
+    spark = bidx.doc_stats.sparkSession
+    qterms = sorted(set(terms))
+    dfs = bidx.term_dfs(qterms)
+    present = [t for t in qterms if t in dfs]
+    if not present or (mode == "and" and len(present) < len(qterms)):
+        return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+
+    n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
+    idfs = {t: idf(n, dfs[t]) for t in present}
+    blocks_q = _query_blocks(bidx, present, idfs)
+    n_required = len(present) if mode == "and" else None
+
+    def _exact_fallback() -> DataFrame:
+        p = _decode_filtered(blocks_q)
+        if doc_filter is not None:
+            p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        scored = fold_scores(p, idfs, avgdl, n_required)
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    if mode == "and":
+        # rarest-term-driven conjunction: candidates = smallest list.
+        rare = min(present, key=lambda t: dfs[t])
+        cand_rows = _decode_filtered(blocks_q.where(F.col("term") == rare))
+        cand_df = cand_rows.select("doc_id")
+        if doc_filter is not None:
+            cand_df = cand_df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        cand = cand_df.limit(candidate_cap + 1).collect()
+        if len(cand) > candidate_cap:
+            if stats_out is not None:
+                stats_out["fallback"] = True
+            return _exact_fallback()
+        cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
+        if cand_ids.size == 0:
+            return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+        rows = _decode_filtered(blocks_q, cand_ids, slice_shift)
+        scored = fold_scores(rows, idfs, avgdl, n_required)
+        if stats_out is not None:
+            stats_out.update(fallback=False, n_candidates=int(cand_ids.size), theta=None)
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    # ---- OR mode: θ probe → block pruning → candidates → rescore ----
+    gm = {
+        r["term"]: r["gm"]
+        for r in blocks_q.groupBy("term").agg(F.max("ub").alias("gm")).collect()
+    }
+    sum_gm = sum(gm.values())
+
+    probe_blocks = blocks_q.orderBy(F.col("ub").desc()).limit(PROBE_BLOCKS_PER_TERM * len(present))
+    probe_rows = _decode_filtered(probe_blocks)
+    if doc_filter is not None:
+        probe_rows = probe_rows.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    partial = fold_scores(probe_rows, idfs, avgdl, None)
+    topk_partial = partial.orderBy(F.col("score").desc()).limit(k).collect()
+    theta = topk_partial[-1]["score"] if len(topk_partial) >= k else 0.0
+
+    # keep b(t) iff ub_b + Σ_{t'≠t} gm_{t'} ≥ θ  ⇔  ub_b ≥ θ - (sum_gm - gm_t)
+    gm_col = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(gm[t]))])[
+        F.col("term")
+    ]
+    kept = blocks_q.where(F.col("ub") >= F.lit(theta) - (F.lit(sum_gm) - gm_col))
+
+    cand_df = _decode_filtered(kept).select("doc_id").distinct()
+    if doc_filter is not None:
+        cand_df = cand_df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    cand = cand_df.limit(candidate_cap + 1).collect()
+    if len(cand) > candidate_cap:
+        if stats_out is not None:
+            stats_out["fallback"] = True
+        return _exact_fallback()
+    cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
+    if cand_ids.size == 0:
+        return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+
+    if stats_out is not None:
+        stats_out.update(
+            fallback=False,
+            theta=float(theta),
+            n_candidates=int(cand_ids.size),
+            blocks_total=blocks_q.count(),
+            blocks_kept=kept.count(),
+        )
+
+    rows = _decode_filtered(blocks_q, cand_ids, slice_shift)
+    scored = fold_scores(rows, idfs, avgdl, None)
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,112 @@
+"""Block-Max WAND invariant: wand_topk ≡ exact path, and pruning prunes.
+
+The M4 contract (SURVEY.md §7.2): the WAND fast path must return
+rank-identical (doc_id, score) top-k versus the exact column-algebra
+path for every query shape, on both unsalted and heavily-salted blocked
+indexes — while actually skipping block decodes when θ allows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexlt_spark.index.blocks import BlockedIndex, build_blocks
+from nexlt_spark.query.exact import paginate, score_postings
+from nexlt_spark.query.wand import _bucket, wand_topk
+
+
+@pytest.fixture(scope="module")
+def blocked(index):
+    return BlockedIndex(
+        blocks=build_blocks(index, salt_threshold=10**9).persist(),
+        doc_stats=index.doc_stats,
+        term_stats=index.term_stats,
+        stats=index.stats,
+    )
+
+
+@pytest.fixture(scope="module")
+def blocked_salted(index):
+    # tiny block_size + low threshold: many blocks even on the test corpus,
+    # so θ-pruning has something to skip
+    return BlockedIndex(
+        blocks=build_blocks(index, salt_threshold=5, range_shift=6, block_size=16).persist(),
+        doc_stats=index.doc_stats,
+        term_stats=index.term_stats,
+        stats=index.stats,
+    )
+
+
+def _exact_topk(index, terms, k, mode="or", doc_filter=None):
+    scored = score_postings(index, terms, mode, doc_filter)
+    return [
+        (r["doc_id"], r["score"])
+        for r in paginate(scored, [F.col("score").desc(), F.col("doc_id").asc()], 0, k).collect()
+    ]
+
+
+def _wand(bidx, terms, k, mode="or", doc_filter=None, **kw):
+    return [(r["doc_id"], r["score"]) for r in wand_topk(bidx, terms, k, mode, doc_filter, **kw).collect()]
+
+
+QUERIES = [
+    (["error"], "or", 10),
+    (["the"], "or", 10),  # hottest term
+    (["run", "file"], "and", 10),
+    (["run", "file"], "or", 10),
+    (["spark", "index", "merge"], "or", 10),
+    (["the", "error"], "or", 25),
+    (["the", "run", "data"], "and", 5),
+    (["w1998"], "or", 10),  # rare term
+    (["nosuchterm"], "or", 10),
+    (["the", "nosuchterm"], "and", 10),  # AND with missing term → empty
+    (["the", "nosuchterm"], "or", 10),
+]
+
+
+@pytest.mark.parametrize("terms,mode,k", QUERIES)
+def test_wand_equals_exact(index, blocked, terms, mode, k):
+    assert _wand(blocked, terms, k, mode) == _exact_topk(index, terms, k, mode)
+
+
+@pytest.mark.parametrize("terms,mode,k", QUERIES)
+def test_wand_equals_exact_salted(index, blocked_salted, terms, mode, k):
+    assert _wand(blocked_salted, terms, k, mode) == _exact_topk(index, terms, k, mode)
+
+
+def test_wand_with_doc_filter(index, blocked, documents):
+    flt = documents.where(F.col("role") == "user").select("doc_id")
+    assert _wand(blocked, ["error", "run"], 10, "or", flt) == _exact_topk(
+        index, ["error", "run"], 10, "or", flt
+    )
+    assert _wand(blocked, ["the", "run"], 10, "and", flt) == _exact_topk(
+        index, ["the", "run"], 10, "and", flt
+    )
+
+
+def test_wand_candidate_cap_fallback(index, blocked):
+    stats = {}
+    got = _wand(blocked, ["the", "error"], 10, "or", candidate_cap=3, stats_out=stats)
+    assert stats.get("fallback") is True
+    assert got == _exact_topk(index, ["the", "error"], 10, "or")
+
+
+def test_wand_actually_prunes(blocked_salted):
+    """On a Zipf corpus with 16-doc blocks, a rare+hot OR query must
+    establish θ high enough to skip some of the hot term's blocks."""
+    stats = {}
+    _wand(blocked_salted, ["the", "w1998"], 3, "or", stats_out=stats)
+    assert stats["fallback"] is False
+    assert stats["theta"] > 0.0
+    assert stats["blocks_kept"] < stats["blocks_total"], stats
+
+
+def test_bucket_parity_spark_vs_python(spark, index):
+    terms = [r["term"] for r in index.term_stats.limit(50).collect()]
+    got = {
+        r["term"]: r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.pmod(F.xxhash64("term"), F.lit(32)).alias("b"))
+        .collect()
+    }
+    for t in terms:
+        assert _bucket(t, 32) == got[t]
