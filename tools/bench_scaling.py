@@ -1,0 +1,201 @@
+"""Scaling-efficiency evidence for BASELINE.json north_rule.
+
+The rule requires the job to run "at N and 4N executors with throughput
+scaling efficiency >= 0.8". No real cluster exists in this sandbox, so —
+as instructed — we evidence it by running the SAME job on the SAME input
+at two parallelism levels in fresh JVMs:
+
+    local[8]   (N cores)      vs      local[32]  (4N cores)
+
+Protocol (each level a fresh ``python tools/bench_scaling.py --worker``
+subprocess, so no JIT/caching carry-over):
+
+1. parent generates ONE deterministic transcripts parquet (seeded synth,
+   fixed file layout) — both workers read identical bytes;
+2. worker times the full index build (read -> flatten w/ stable docIDs ->
+   tokenize/tf mapInPandas -> df agg -> materialize) and reports
+   turns/sec; then p50 over the reference query shapes;
+3. parent computes  efficiency = (tps_4N / tps_N) / 4  and writes the
+   BENCH.md scaling section.
+
+The job itself scales its task counts with the core count exactly as a
+cluster submission would (shuffle partitions = 4 x cores) — "same job,
+same input, bigger cluster".
+
+Usage:  python tools/bench_scaling.py [--convs 60000] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_INPUT = "/tmp/nexlt_scaling/input"
+
+
+def _worker(cpus: int, input_dir: str, repeats: int) -> None:
+    from pyspark.sql import functions as F
+
+    from nexlt_spark.index.build import build_index
+    from nexlt_spark.flatten import flatten_transcripts
+    from nexlt_spark.query.exact import bm25_topk
+    from nexlt_spark.query.model import Query, QueryFilters
+    from nexlt_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"nexlt-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=4 * cpus,
+        extra_conf={
+            # small input files: force enough read splits to feed all cores
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        },
+    )
+    transcripts = spark.read.parquet(input_dir)
+    n_turns = transcripts.count()  # warm FS cache outside the timer
+
+    t0 = time.perf_counter()
+    documents = flatten_transcripts(transcripts).persist()
+    idx = build_index(documents).persist()
+    idx.postings.count()
+    idx.term_stats.count()
+    documents.count()
+    build_sec = time.perf_counter() - t0
+
+    queries = [
+        Query(terms=["error"], k=10),
+        Query(terms=["the"], k=10),  # Zipf head
+        Query(terms=["run", "file"], mode="and", k=10),
+        Query(terms=["spark", "index", "merge"], mode="or", k=10),
+        Query(terms=["data"], filters=QueryFilters(roles=["user", "assistant"]), k=10),
+    ]
+    for q in queries:  # warm plans/broadcasts
+        bm25_topk(idx, documents, q).collect()
+    lats = []
+    for _ in range(repeats):
+        for q in queries:
+            t0 = time.perf_counter()
+            bm25_topk(idx, documents, q).collect()
+            lats.append(time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "build_sec": round(build_sec, 3),
+                "turns_per_sec": round(n_turns / build_sec, 1),
+                "query_p50_sec": round(statistics.median(lats), 4),
+                "n_postings": idx.postings.count(),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _gen_input(input_dir: str, n_convs: int) -> None:
+    from nexlt_spark.session import get_spark
+    from nexlt_spark.synth import synth_transcripts
+
+    spark = get_spark(app_name="nexlt-scaling-gen", master="local[32]")
+    synth_transcripts(spark, n_convs=n_convs, seed=42).repartition(128).write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    spark.stop()
+
+
+def _run_worker(cpus: int, input_dir: str, repeats: int) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--worker",
+        str(cpus),
+        "--input",
+        input_dir,
+        "--repeats",
+        str(repeats),
+    ]
+    env = dict(os.environ, NEXLT_DRIVER_MEM="48g")
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, check=True, env=env
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=0, help="run as worker at local[N]")
+    ap.add_argument("--input", default=DEFAULT_INPUT)
+    ap.add_argument("--convs", type=int, default=250000)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+
+    if args.worker:
+        _worker(args.worker, args.input, args.repeats)
+        return
+
+    if not os.path.exists(os.path.join(args.input, "_SUCCESS")):
+        print(f"generating input ({args.convs} convs) -> {args.input}", file=sys.stderr)
+        _gen_input(args.input, args.convs)
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    res = {}
+    for cpus in (lo, hi):
+        print(f"running worker at local[{cpus}] ...", file=sys.stderr)
+        res[cpus] = _run_worker(cpus, args.input, args.repeats)
+        print(json.dumps(res[cpus]), file=sys.stderr)
+
+    ratio = hi / lo
+    eff = (res[hi]["turns_per_sec"] / res[lo]["turns_per_sec"]) / ratio
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"(tps_{hi}c/tps_{lo}c)/{ratio:g}",
+        "levels": res,
+    }
+    print(json.dumps(summary))
+
+    section = f"""
+## 4. Measured scaling evidence (north_rule: N vs 4N)
+
+Same job, same input (deterministic synth transcripts, seed=42,
+{res[lo]['n_turns']} turns, one shared parquet fileset), fresh JVM per level,
+shuffle partitions = 4 x cores (the job scales its task counts with the
+cluster exactly as a real submission would). Produced by
+`python tools/bench_scaling.py`.
+
+| Parallelism | Build (s) | Throughput (turns/s) | Query p50 (s) |
+|---|---|---|---|
+| local[{lo}]  (N)  | {res[lo]['build_sec']} | {res[lo]['turns_per_sec']} | {res[lo]['query_p50_sec']} |
+| local[{hi}] (4N) | {res[hi]['build_sec']} | {res[hi]['turns_per_sec']} | {res[hi]['query_p50_sec']} |
+
+**Scaling efficiency = (tps_4N / tps_N) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json north_rule; efficiency is defined on
+build throughput — the query p50s at this toy corpus are per-task
+scheduling-overhead-bound, not data-bound, so they do not speed up with
+more cores the way a 100 TB query would).
+"""
+    marker = "## 4. Measured scaling evidence"
+    if os.path.exists(args.out):
+        body = open(args.out).read()
+        body = body.split(marker)[0].rstrip() + "\n" + section
+    else:
+        body = "# BENCH — measured numbers\n" + section
+    with open(args.out, "w") as fh:
+        fh.write(body)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
