@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nexlt_spark import scoring
 from nexlt_spark.index.build import build_index
 from nexlt_spark.query.exact import paginate, score_postings
-from nexlt_spark.ops import dedup, ingest, similarity, textstats
+from nexlt_spark.ops import dedup, ingest, minhash, similarity, textstats
 
 _INDEX_CACHE: dict = {}
 
@@ -278,6 +278,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_scores"] = _quality
 
+    def _minhash_pairs(s, d):
+        # MinHash+LSH candidates -> exact-Jaccard verify; r=1 bands give
+        # recall 1-(1-J)^16 ≈ 1 at the J≥0.9 planted-near-dup level, so
+        # the verified output equals the oracle's exhaustive all-pairs scan
+        return minhash.near_duplicate_pairs(
+            _docs(s, d), threshold=0.9, n_hashes=16, n_bands=16, shingle_n=3
+        )
+
+    q["dedup_minhash_pairs"] = _minhash_pairs
+
+    def _simhash_pairs(s, d):
+        # xxhash64-based — not expressible in DuckDB SQL; rows-only check
+        return minhash.simhash_near_pairs(_docs(s, d), max_hamming=3, n_bands=4)
+
+    q["dedup_simhash_pairs"] = _simhash_pairs
+
+    def _rolling_fp(s, d):
+        return textstats.char_ngram_fingerprint(_docs(s, d), n=16).where(F.col("doc_id") < 50)
+
+    q["doc_fingerprint"] = _rolling_fp
+
+    def _lang_id(s, d):
+        return textstats.language_id(_docs(s, d)).where(F.col("doc_id") < 100)
+
+    q["language_id"] = _lang_id
+
+    def _emb_pairs(s, d):
+        return similarity.embedding_near_dup_pairs(_embeddings(s, d), dim=64, threshold=0.45)
+
+    q["embedding_near_dup_pairs"] = _emb_pairs
+
     def _ann(s, d):
         emb = _embeddings(s, d)
         qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -408,6 +439,66 @@ def oracle_sql() -> dict[str, str]:
         "    ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 4) AS unique_ratio\n"
         "FROM t WHERE doc_id < 50"
     )
+    _SHINGLE_CTE = (
+        "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks\n"
+        "  FROM documents),\n"
+        "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3\n"
+        "    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)])\n"
+        "    ELSE [array_to_string(toks, ' ')] END AS shingles\n"
+        "  FROM tok WHERE len(toks) > 0)\n"
+    )
+    # the oracle is the EXHAUSTIVE all-pairs scan; the engine's LSH path
+    # must reproduce it exactly because r=1 banding recall at J>=0.9 is
+    # 1-(1-0.9)^16 and the verify step is exact Jaccard on both sides
+    o["dedup_minhash_pairs"] = (
+        _SHINGLE_CTE
+        + "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)\n"
+        "    / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard\n"
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)\n"
+        "    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.9"
+    )
+    # dedup_simhash_pairs: xxhash64 not available in DuckDB — rows-only check
+
+    o["doc_fingerprint"] = (
+        "SELECT doc_id, md5(substring(text, 1, 16) || '|' || right(text, 16) || '|'\n"
+        "  || CAST(length(text) AS VARCHAR)) AS fingerprint\n"
+        "FROM documents WHERE doc_id < 50"
+    )
+
+    from nexlt_spark.ops.textstats import STOPWORDS
+
+    def _sw_list(lang: str) -> str:
+        return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    _langs = sorted(STOPWORDS)
+    _best = "greatest(" + ",".join(f"s_{g}" for g in _langs) + ")"
+    _case = "CASE WHEN " + _best + " < 1 THEN 'und' " + " ".join(
+        f"WHEN s_{g} = {_best} THEN '{g}'" for g in _langs[:-1]
+    ) + f" ELSE '{_langs[-1]}' END"
+    o["language_id"] = (
+        "WITH tok AS (SELECT doc_id,\n"
+        "    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks\n"
+        "  FROM documents),\n"
+        "sc AS (SELECT doc_id, "
+        + ", ".join(
+            f"len(list_intersect(toks, {_sw_list(g)})) AS s_{g}" for g in _langs
+        )
+        + " FROM tok)\n"
+        f"SELECT doc_id, {_case} AS lang_pred, {_best} AS hits\n"
+        "FROM sc WHERE doc_id < 100"
+    )
+
+    o["embedding_near_dup_pairs"] = (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
+        "  round(list_dot_product(a.v, b.v) /\n"
+        "    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos\n"
+        "  FROM n a JOIN n b ON a.vec_id < b.vec_id)\n"
+        "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45"
+    )
+
     o["ann_cosine_topk"] = (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)\n"
         "SELECT vec_id, round(\n"

@@ -1,0 +1,218 @@
+"""MinHash + LSH near-duplicate detection — pure Column algebra.
+
+The scale path for content dedup over a 100 TB corpus (the reference
+only dedups by uniqueKey upsert, schema.xml:1030-1033; this is the
+training-data-pipeline extension):
+
+1. shingles: token n-grams per doc (`F.transform` over a sequence —
+   JVM-side, no UDF);
+2. MinHash signature: for each of k hash functions, min over shingles of
+   ``xxhash64(shingle, seed_i)`` — `F.array_min(F.transform(...))`;
+   P[minhash_i(A)=minhash_i(B)] = J(A,B), the classic estimator;
+3. LSH banding: signature split into b bands of r rows; band key =
+   ``xxhash64(band values…)``. Docs sharing any band key become
+   candidate pairs — a groupBy/self-join on (band_idx, band_key), which
+   at scale is a hash-partitioned shuffle of 16-byte keys, never of
+   documents;
+4. verification: exact token-set Jaccard via array_intersect/array_union
+   on the candidates only.
+
+Everything is deterministic (xxhash64 with fixed integer seeds), so
+results are reproducible across runs/parallelism — and step 4's output
+is exact w.r.t. the threshold: LSH only affects recall of candidate
+generation, never precision of the verified pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexlt_spark.ops.textstats import tokens_col
+
+
+def shingles_col(tokens, n: int = 3):
+    """Token n-gram shingles of a tokens array Column (JVM transform).
+
+    size < n → a single shingle of all tokens (short docs still compare).
+    """
+    joined_short = F.array(F.concat_ws(" ", tokens))
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(F.size(tokens) >= n, grams).otherwise(joined_short)
+
+
+def minhash_signature(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, shingles, sig: array<long> of length n_hashes)."""
+    toks = tokens_col() if text_col == "text" else F.split(F.lower(F.col(text_col)), r"\s+")
+    # token-less docs are excluded BEFORE shingling (a doc with zero
+    # tokens must not contribute an empty-string shingle)
+    docs = docs.where(F.size(toks) > 0)
+    sh = shingles_col(toks, shingle_n)
+    def _seeded(i):
+        # NB: a plain `lambda s, i=i:` would be read by pyspark as the
+        # (element, index) two-arg form — the closure factory keeps arity 1
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_shingles"), _seeded(i))) for i in range(n_hashes)]
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), sh.alias("_shingles"))
+        .where(F.size("_shingles") > 0)
+        .select("doc_id", F.col("_shingles").alias("shingles"), sig.alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing ≥1 LSH band (doc_a < doc_b).
+
+    One explode to (doc, band_idx, band_key) rows + one self-join keyed
+    on the 8-byte band hash — the shuffle moves keys, not documents.
+    """
+    rows = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / n_bands).cast("int") + 1,
+                                (F.size("sig") / n_bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = rows.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    b = rows.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_col(sh_a, sh_b):
+    """Exact Jaccard of two shingle-array Columns (JVM set ops)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_duplicate_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verified near-dup pairs: (doc_a, doc_b, jaccard ≥ threshold).
+
+    MinHash→LSH candidates → exact Jaccard verify. Output precision is
+    exact; LSH bounds recall (a pair missed by every band is skipped —
+    the standard S-curve trade; raise n_hashes/bands for recall).
+    """
+    sigs = minhash_signature(docs, n_hashes, shingle_n, id_col, text_col).persist()
+    cands = lsh_candidate_pairs(sigs, n_bands)
+    sh = sigs.select("doc_id", "shingles")
+    pairs = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard_col(F.array_distinct("sh_a"), F.array_distinct("sh_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# SimHash: 64-bit tf-weighted fingerprint + banded Hamming near-dup
+# --------------------------------------------------------------------------
+
+
+def simhash_col(tokens):
+    """64-bit SimHash of a tokens array Column, as a long.
+
+    bit b of simhash = 1 iff Σ_tokens (2*((xxhash64(tok)>>b)&1) - 1) > 0.
+    Pure JVM expression: one hash per token, 64 array-fold votes. Ties
+    (vote sum 0) resolve to 0, deterministically.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _vote_merge(b):
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(b))
+        out = out + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) over the shared tokenizer's token stream."""
+    return docs.select(F.col(id_col).alias("doc_id"), simhash_col(tokens_col()).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) via banded 16-bit keys.
+
+    Two signatures within Hamming distance d < n_bands must agree on at
+    least one of n_bands disjoint bands (pigeonhole) — candidates from a
+    band-key self-join, exact popcount(xor) verify.
+    """
+    width = 64 // n_bands
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

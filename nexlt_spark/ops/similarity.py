@@ -9,7 +9,7 @@ bucket join.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -17,19 +17,23 @@ from pyspark.sql import functions as F
 
 def _dot_with_literal(vec_col, q: Sequence[float]):
     """Sequential left-to-right fold: Σ_i vec[i]*q[i] in index order —
-    deterministic float summation (same order as a Python loop)."""
-    acc = F.lit(0.0)
-    for i, qi in enumerate(q):
-        acc = acc + vec_col.getItem(i).cast("double") * F.lit(float(qi))
-    return acc
+    deterministic float summation (same order as a Python loop). zip_with
+    + aggregate keeps the expression tree O(1) in dim (an unrolled
+    per-index form blows the 64 KB whole-stage-codegen budget at dim 64
+    and silently drops the plan out of codegen)."""
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    prods = F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _norm(vec_col, dim: int):
-    acc = F.lit(0.0)
-    for i in range(dim):
-        x = vec_col.getItem(i).cast("double")
-        acc = acc + x * x
-    return F.sqrt(acc)
+    return F.sqrt(
+        F.aggregate(
+            vec_col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
 
 
 def cosine_topk(
@@ -93,3 +97,46 @@ def lsh_cosine_topk(
     )
     cands = sigs.where(F.col("bucket") == qbits).drop("bucket")
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def _pair_cos(va, vb, dim: int):
+    """cos(va, vb) for two array Columns — index-ordered zip_with/aggregate
+    fold: deterministic summation, O(1)-size expression tree (codegen-safe
+    at any dim)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm(va, dim) * _norm(vb, dim))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: Optional[List[Sequence[float]]] = None,
+) -> DataFrame:
+    """(id_a, id_b, cos ≥ threshold) — embedding-level near-duplicates.
+
+    planes=None: exact all-pairs (the oracle-checkable baseline; O(n²),
+    fine for candidate sets / small dims). With planes: LSH-bucketed —
+    only same-bucket pairs are scored, turning the cross join into a
+    per-bucket join at scale (precision exact, recall bounded by LSH).
+    """
+    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if planes is not None:
+        sigs = hyperplane_signatures(e, planes, "_id", "_v")
+        a = sigs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+        b = sigs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(_pair_cos(F.col("va"), F.col("vb"), dim), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

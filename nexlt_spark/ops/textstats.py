@@ -68,3 +68,46 @@ def char_ngram_fingerprint(docs: DataFrame, n: int = 16) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Language identification (stopword-overlap heuristic)
+# --------------------------------------------------------------------------
+
+# Minimal public stopword cores (top function words per language). A
+# production pipeline swaps in bigger lists or a model; the operator's
+# dataflow (array_intersect scoring, argmax with deterministic tiebreak)
+# is what matters at 100 TB — one JVM-side pass, no UDF, no shuffle.
+STOPWORDS = {
+    "en": "the of and to in a is that it for on with as are this be at or".split(),
+    "fr": "le la les de des du et en un une est que pour dans sur au avec ne pas".split(),
+    "de": "der die das und in den von zu mit ist des im für auf nicht ein eine als".split(),
+    "es": "el la los las de y en un una es que por para con del se no al como".split(),
+}
+
+
+def language_scores(docs: DataFrame, languages=None) -> DataFrame:
+    """Per-doc stopword-hit counts per language: (doc_id, score_<lang>…)."""
+    langs = languages or sorted(STOPWORDS)
+    toks = F.array_distinct(tokens_col())
+    cols = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        ).alias(f"score_{lang}")
+        for lang in langs
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def language_id(docs: DataFrame, languages=None, min_hits: int = 1) -> DataFrame:
+    """(doc_id, lang_pred, hits): argmax language by stopword overlap,
+    ties broken by language-code order, 'und' (undetermined) below
+    min_hits — the greatest(..)/CASE form keeps it one codegen stage."""
+    langs = languages or sorted(STOPWORDS)
+    scored = language_scores(docs, langs)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties (reversed fold)
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best >= min_hits, pred).otherwise(F.lit("und"))
+    return scored.select("doc_id", pred.alias("lang_pred"), best.alias("hits"))

@@ -122,7 +122,11 @@ def synth_transcripts(
                 tools = [
                     TOOLS[int(t % 5)] for t in _hash64(rowkeys + np.int64(5)) % np.uint64(5)
                 ]
-                ts = _BASE_TS + (np.int64(conv) * 86_400 + idx * 37).astype("timedelta64[s]")
+                # wrap the per-conversation day offset so ts stays inside
+                # pandas' ns-timestamp range at any corpus size
+                ts = _BASE_TS + ((np.int64(conv) % 600) * 86_400 + idx * 37).astype(
+                    "timedelta64[s]"
+                )
                 out.append(
                     pd.DataFrame(
                         {

@@ -1,0 +1,220 @@
+"""Training-data pipeline ops: MinHash/LSH, SimHash, language-ID,
+embedding near-dup, multimodal plumbing — verified against brute-force
+oracles computed driver-side.
+"""
+
+import hashlib
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nexlt_spark.ops import dedup, minhash, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Docs with planted exact dups, near-dups, and distinct content."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("delta", "xdelta")),  # near-dup of 0
+        (3, "completely different words about spark query engines here"),
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup of 4
+        (6, "unrelated singleton text with unique vocabulary tokens"),
+        (7, base + " extra tail words appended here"),  # moderate overlap w/ 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def _shingles(text, n=3):
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_minhash_exact_dups_always_found(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.near_duplicate_pairs(corpus, threshold=0.99).collect()
+    }
+    assert (0, 1) in pairs  # identical signatures share every band
+
+
+def test_minhash_verified_jaccard_is_exact(corpus):
+    got = minhash.near_duplicate_pairs(corpus, threshold=0.5).collect()
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for r in got:
+        expected = _jaccard(_shingles(texts[r["doc_a"]]), _shingles(texts[r["doc_b"]]))
+        assert r["jaccard"] == pytest.approx(round(expected, 6), abs=1e-9)
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_finds_planted_near_dups(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.near_duplicate_pairs(
+            corpus, threshold=0.5, n_hashes=16, n_bands=16
+        ).collect()
+    }
+    # one-token change, J=7/13 on 3-shingles; r=1 bands -> recall
+    # 1-(1-J)^16 ≈ 0.9999 over the fixed deterministic hash family
+    assert (4, 5) in pairs
+
+
+def test_simhash_identical_texts_equal(corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in minhash.simhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_banded_equals_bruteforce(corpus):
+    """Pigeonhole: with 4 bands every pair at hamming ≤ 3 must surface;
+    verify the banded join is exactly the brute-force result."""
+    sigs = {r["doc_id"]: r["simhash"] for r in minhash.simhash_signatures(corpus).collect()}
+    brute = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in minhash.simhash_near_pairs(corpus, max_hamming=3, n_bands=4).collect()
+    }
+    assert got == brute
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat is on the mat and it is happy with this"),
+        (1, "le chat est dans la maison avec le chien et les oiseaux"),
+        (2, "der hund ist in dem haus mit der katze und den kindern"),
+        (3, "qqq www zzz xxy"),  # no stopwords at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(docs).collect()}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "und"}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float64)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(8)  # near-dup of 0
+    vecs[5] = vecs[4] * 2.0  # exact cosine-dup of 4 (scaled)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        vecs,
+    )
+
+
+def test_embedding_near_dup_exact_vs_numpy(vectors):
+    df, vecs = vectors
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(range(len(vecs)), 2)
+        if round(cos[a, b], 6) >= 0.95
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(df, dim=8, threshold=0.95).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (4, 5) in got
+
+
+def test_embedding_near_dup_lsh_is_subset_with_exact_precision(vectors):
+    df, vecs = vectors
+    rng = np.random.RandomState(11)
+    planes = [[float(x) for x in rng.randn(8)] for _ in range(4)]
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.embedding_near_dup_pairs(df, dim=8, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.embedding_near_dup_pairs(
+            df, dim=8, threshold=0.95, planes=planes
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # near-identical vectors land in the same bucket for any plane set
+    assert (0, 1) in lsh
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, vecs = vectors
+    q = vecs[0]
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = norm @ qn
+    want = sorted(range(len(vecs)), key=lambda i: (-round(cos[i], 9), i))[:5]
+    got = [r["vec_id"] for r in similarity.cosine_topk(df, [float(x) for x in q], k=5).collect()]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_decode_deterministic(spark):
+    media = multimodal.synth_media(spark, n=24).persist()
+    feats = multimodal.decode_media(media).collect()
+    assert len(feats) == 24
+    by_id = {r["media_id"]: r for r in feats}
+    # feature is a pure function of payload bytes — recompute driver-side
+    for r in media.collect():
+        f = multimodal.fake_feature(bytes(r["payload"]))
+        assert list(by_id[r["media_id"]]["feature"]) == pytest.approx(list(f))
+        assert by_id[r["media_id"]]["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_multimodal_real_decode_is_marked_stub(spark):
+    media = multimodal.synth_media(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_media(media, fake=False).collect()
+
+
+def test_multimodal_metadata_profile_prunes_payload(spark, tmp_path):
+    media = multimodal.synth_media(spark, n=24)
+    p = str(tmp_path / "media.parquet")
+    media.write.parquet(p)
+    on_disk = spark.read.parquet(p)
+    prof = multimodal.metadata_profile(on_disk)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruning: binary never read
+    assert {r["kind"] for r in prof.collect()} == {"image", "audio", "video"}
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, n=12)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    vids = {r["media_id"] for r in media.where(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in plan} == vids
+    durs = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect() if r["media_id"] in vids}
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in plan)
+    for mid, n in per.items():
+        assert n == max(1, durs[mid] // 1000)
+
+
+def test_exact_dedup_keeps_min_doc_id(corpus):
+    kept = {r["doc_id"] for r in dedup.dedup_exact(corpus).collect()}
+    assert 0 in kept and 1 not in kept
+    assert kept == {0, 2, 3, 4, 5, 6, 7}
