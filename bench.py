@@ -29,11 +29,13 @@ from pyspark.sql import functions as F
 
 from nexlt_spark.session import get_spark
 from nexlt_spark.flatten import flatten_transcripts
+from nexlt_spark.index.blocks import BlockedIndex, build_blocks
 from nexlt_spark.index.build import build_index
 from nexlt_spark.query.exact import bm25_topk, run_query
 from nexlt_spark.query.model import Query, QueryFilters
+from nexlt_spark.query.wand import wand_topk
 from nexlt_spark.synth import synth_transcripts
-from nexlt_spark.ops import dedup, similarity, textstats
+from nexlt_spark.ops import dedup, minhash, similarity, textstats
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -76,6 +78,15 @@ def main():
     build_sec = time.perf_counter() - t0
     turns_per_sec = n_turns / build_sec
 
+    # blocked (compressed, block-max) postings for the WAND fast path
+    bidx = BlockedIndex(
+        blocks=build_blocks(idx).persist(),
+        doc_stats=idx.doc_stats,
+        term_stats=idx.term_stats,
+        stats=idx.stats,
+    )
+    bidx.blocks.count()
+
     # ---- query latencies over the built index -----------------------------
     queries = {
         "q_term": lambda: bm25_topk(idx, documents, Query(terms=["error"], k=10)).collect(),
@@ -98,6 +109,10 @@ def main():
         "q_count": lambda: run_query(
             idx, documents, Query(terms=["value"], count_only=True)
         ).collect(),
+        "q_wand_or": lambda: wand_topk(
+            bidx, ["spark", "index", "merge"], k=10, mode="or"
+        ).collect(),
+        "q_wand_and": lambda: wand_topk(bidx, ["run", "file"], k=10, mode="and").collect(),
     }
 
     # ---- pipeline ops over the sf tables ----------------------------------
@@ -109,6 +124,9 @@ def main():
             "op_dedup_fp": lambda: dedup.fingerprint_duplicate_groups(docs_tbl, n_tokens=2).collect(),
             "op_token_stats": lambda: textstats.token_stats_by(docs_tbl, "lang").collect(),
             "op_ann_cosine": lambda: similarity.cosine_topk(emb_tbl, qv, k=10).collect(),
+            "op_minhash_neardup": lambda: minhash.near_duplicate_pairs(
+                docs_tbl, threshold=0.9, n_hashes=16, n_bands=16
+            ).collect(),
         }
     )
 

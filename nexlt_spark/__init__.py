@@ -23,3 +23,18 @@ __version__ = "0.1.0"
 
 K1 = 1.2
 B = 0.75
+from nexlt_spark.index.blocks import (  # noqa: F401
+    BlockedIndex,
+    build_blocks,
+    load_blocked_index,
+    save_blocked_index,
+)
+from nexlt_spark.index.packed import build_blocked_direct, save_blocked  # noqa: F401
+from nexlt_spark.index.incremental import (  # noqa: F401
+    compact,
+    ingest_batch,
+    live_documents,
+    live_index,
+)
+from nexlt_spark.query.wand import wand_topk  # noqa: F401
+from nexlt_spark.query.enrich import expand_synonyms, highlight, parse_synonyms  # noqa: F401

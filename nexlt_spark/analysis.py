@@ -22,6 +22,15 @@ import re
 import unicodedata
 from typing import List, Optional
 
+from nexlt_spark.stemmer import porter_stem
+
+# Pluggable analyzer chains (SURVEY.md §1.5). "standard" models the
+# reference's text_general (StandardTokenizer+LowerCase, no stopwords —
+# schema.xml:198-213); "en_porter" models text_en_splitting's stemming
+# step (PorterStemFilter at index AND query time, schema.xml:293,303).
+# The value is the per-token post-map applied after tokenization.
+ANALYZERS = {"standard": None, "en_porter": porter_stem}
+
 # [^\W_] == word char minus underscore == Unicode letter or digit.
 TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
@@ -35,39 +44,51 @@ def normalize(text: str) -> str:
     return unicodedata.normalize("NFKC", text).lower()
 
 
-def tokenize(text: Optional[str]) -> List[str]:
+def tokenize(text: Optional[str], analyzer: str = "standard") -> List[str]:
     """Pure-Python tokenizer — the oracle-side ground truth."""
     if text is None:
         return []
-    return TOKEN_RE.findall(normalize(text))
+    toks = TOKEN_RE.findall(normalize(text))
+    stem = ANALYZERS[analyzer]
+    if stem is not None:
+        toks = [stem(t) for t in toks]
+    return toks
 
 
-def _lazy_spark():
-    from pyspark.sql import functions as F  # noqa: F401
+def _lazy_spark(analyzer: str):
     from pyspark.sql import types as T
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    stem = ANALYZERS[analyzer]
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def tokenize_udf(texts: pd.Series) -> pd.Series:
         # Vectorized pandas string ops — identical semantics to tokenize():
         # str.normalize("NFKC") + str.lower() + str.findall(TOKEN_RE).
         filled = texts.fillna("")
-        return filled.str.normalize("NFKC").str.lower().str.findall(TOKEN_RE)
+        found = filled.str.normalize("NFKC").str.lower().str.findall(TOKEN_RE)
+        if stem is None:
+            return found
+        # vocab-level stemming: each distinct token is stemmed ONCE per
+        # Arrow batch (Zipf: vocab << token count), then mapped back
+        from itertools import chain
+
+        table = {t: stem(t) for t in set(chain.from_iterable(found))}
+        return found.map(lambda ts: [table[t] for t in ts])
 
     return tokenize_udf
 
 
-_TOKENIZE_UDF = None
+_TOKENIZE_UDFS = {}
 
 
-def tokenize_udf_col(col):
+def tokenize_udf_col(col, analyzer: str = "standard"):
     """Apply the tokenizer pandas_udf to a Column → ArrayType(StringType).
 
     Lazy so that oracle.py can import this module without a Spark runtime.
     """
-    global _TOKENIZE_UDF
-    if _TOKENIZE_UDF is None:
-        _TOKENIZE_UDF = _lazy_spark()
-    return _TOKENIZE_UDF(col)
+    if analyzer not in _TOKENIZE_UDFS:
+        _TOKENIZE_UDFS[analyzer] = _lazy_spark(analyzer)
+    return _TOKENIZE_UDFS[analyzer](col)

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nexlt_spark.index.build import IndexStats, InvertedIndex
-from nexlt_spark.index.codec import BLOCK_SIZE, decode_block, encode_blocks
+from nexlt_spark.index.codec import BLOCK_SIZE, decode_block_rows, encode_blocks
 from nexlt_spark.scoring import B as B_PARAM
 from nexlt_spark.scoring import K1, K1_PLUS_1, ONE_MINUS_B
 
@@ -100,21 +100,24 @@ def decode_terms(blocks: DataFrame, terms: list[str]) -> DataFrame:
 
     def dec(batches):
         for pdf in batches:
-            outs = []
-            for term, n, e_ids, e_tfs, e_dls in pdf.itertuples(index=False):
-                ids, tfs, dls = decode_block(bytes(e_ids), bytes(e_tfs), bytes(e_dls), int(n))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": term,
-                            "doc_id": ids.astype(np.int64),
-                            "tf": tfs.astype(np.int32),
-                            "dl": dls.astype(np.int32),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # ONE vectorized decode across every block row in the batch
+            block_of, ids, tfs, dls = decode_block_rows(
+                [bytes(x) for x in pdf["doc_ids"]],
+                [bytes(x) for x in pdf["tfs"]],
+                [bytes(x) for x in pdf["dls"]],
+                pdf["n"].to_numpy(),
+            )
+            terms = pdf["term"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "term": terms[block_of],
+                    "doc_id": ids.astype(np.int64),
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int32),
+                }
+            )
 
     return sel.mapInPandas(dec, schema=DECODED_SCHEMA)
 
@@ -132,6 +135,7 @@ class BlockedIndex:
     term_stats: DataFrame
     stats: IndexStats
     n_buckets: int | None = None
+    analyzer: str = "standard"
 
     def persist(self) -> "BlockedIndex":
         self.blocks.persist()
@@ -182,8 +186,8 @@ def save_blocked_index(
     index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     spark = index.postings.sparkSession
     spark.createDataFrame(
-        [(index.stats.n_docs, index.stats.total_tokens, n_buckets)],
-        "n_docs long, total_tokens long, n_buckets int",
+        [(index.stats.n_docs, index.stats.total_tokens, n_buckets, index.analyzer)],
+        "n_docs long, total_tokens long, n_buckets int, analyzer string",
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -195,4 +199,5 @@ def load_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
         term_stats=spark.read.parquet(f"{path}/term_stats"),
         stats=IndexStats(n_docs=st["n_docs"], total_tokens=st["total_tokens"]),
         n_buckets=st["n_buckets"],
+        analyzer=st["analyzer"] if "analyzer" in st.__fields__ else "standard",
     )

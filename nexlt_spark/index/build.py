@@ -57,6 +57,7 @@ class InvertedIndex:
     doc_stats: DataFrame
     term_stats: DataFrame
     stats: IndexStats
+    analyzer: str = "standard"
 
     def persist(self) -> "InvertedIndex":
         self.postings.persist()
@@ -86,7 +87,7 @@ RAW_SCHEMA = "term string, doc_id long, tf int, dl int"
 _SENTINEL = ""  # the tokenizer regex never yields an empty string
 
 
-def _emit_postings(doc_id_col: str, text_col: str):
+def _emit_postings(doc_id_col: str, text_col: str, analyzer: str = "standard"):
     """mapInPandas kernel: documents batch → pre-aggregated posting rows.
 
     One vectorized pass per Arrow batch: tokenize (pandas .str chain, same
@@ -102,7 +103,9 @@ def _emit_postings(doc_id_col: str, text_col: str):
     import numpy as np
     import pandas as pd
 
-    from nexlt_spark.analysis import TOKEN_RE
+    from nexlt_spark.analysis import ANALYZERS, TOKEN_RE
+
+    stem = ANALYZERS[analyzer]
 
     def emit(batches):
         for pdf in batches:
@@ -112,31 +115,47 @@ def _emit_postings(doc_id_col: str, text_col: str):
             toks = (
                 pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(TOKEN_RE)
             )
-            lens = toks.str.len().to_numpy()
+            lens = toks.str.len().to_numpy(dtype=np.int64)
             flat_terms = list(chain.from_iterable(toks))
-            rep_docs = np.repeat(doc_ids, lens)
-            rep_dl = np.repeat(lens, lens)
-            tf = (
-                pd.DataFrame({"term": flat_terms, "doc_id": rep_docs, "dl": rep_dl})
-                .groupby(["doc_id", "term"], sort=False)
-                .agg(tf=("dl", "size"), dl=("dl", "first"))
-                .reset_index()
-            )
             sent = pd.DataFrame(
                 {
                     "term": _SENTINEL,
                     "doc_id": doc_ids,
                     "tf": np.zeros(len(doc_ids), dtype=np.int32),
-                    "dl": lens,
+                    "dl": lens.astype(np.int32),
                 }
             )
-            if len(tf):
-                out = pd.concat([sent, tf[["term", "doc_id", "tf", "dl"]]], ignore_index=True)
-            else:
-                out = sent
-            out["tf"] = out["tf"].astype("int32")
-            out["dl"] = out["dl"].astype("int32")
-            yield out
+            if not flat_terms:
+                yield sent
+                continue
+            # tf via ONE np.unique over a fused (doc, term-code) int64 key —
+            # the string hashing happens once in factorize; no object-dtype
+            # groupby (measured materially faster + fewer allocations)
+            codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
+            if stem is not None:
+                # vocab-level stemming: stem each distinct token once per
+                # batch (Zipf: vocab << tokens); dl stays the raw token
+                # count (Lucene norms count tokens, not distinct stems).
+                # Stemming can merge vocab entries — refactorize the
+                # stemmed vocab and remap codes so the fused key still
+                # counts per distinct stemmed term.
+                stemmed = np.array([stem(t) for t in uniques], dtype=object)
+                scodes, uniques = pd.factorize(stemmed)
+                codes = scodes[codes]
+            v = len(uniques)
+            doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+            key = doc_idx * v + codes
+            uk, counts = np.unique(key, return_counts=True)
+            ud = uk // v
+            tf = pd.DataFrame(
+                {
+                    "term": uniques[(uk % v).astype(np.int64)],
+                    "doc_id": doc_ids[ud],
+                    "tf": counts.astype(np.int32),
+                    "dl": lens[ud].astype(np.int32),
+                }
+            )
+            yield pd.concat([sent, tf], ignore_index=True)
 
     return emit
 
@@ -146,6 +165,7 @@ def build_index(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     persist_raw: bool = True,
+    analyzer: str = "standard",
 ) -> InvertedIndex:
     """Build the flat inverted index from a documents DataFrame.
 
@@ -157,7 +177,7 @@ def build_index(
     cache (see index.checkpoint for the resumable form).
     """
     raw = documents.select(doc_id_col, text_col).mapInPandas(
-        _emit_postings(doc_id_col, text_col), schema=RAW_SCHEMA
+        _emit_postings(doc_id_col, text_col, analyzer), schema=RAW_SCHEMA
     )
     if persist_raw:
         raw = raw.persist()
@@ -171,4 +191,10 @@ def build_index(
     ).collect()[0]
     stats = IndexStats(n_docs=int(agg["n"]), total_tokens=int(agg["tot"]))
 
-    return InvertedIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats, stats=stats)
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        term_stats=term_stats,
+        stats=stats,
+        analyzer=analyzer,
+    )

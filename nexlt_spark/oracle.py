@@ -19,8 +19,9 @@ from nexlt_spark.scoring import contribution, idf
 
 
 class OracleIndex:
-    def __init__(self, docs: Iterable[dict]):
+    def __init__(self, docs: Iterable[dict], analyzer: str = "standard"):
         """docs: dicts with doc_id, text (+ optional role/tool/ts/conv_id)."""
+        self.analyzer = analyzer
         self.docs: Dict[int, dict] = {}
         self.tokens: Dict[int, List[str]] = {}
         self.dl: Dict[int, int] = {}
@@ -28,7 +29,7 @@ class OracleIndex:
         for d in docs:
             did = int(d["doc_id"])
             self.docs[did] = d
-            toks = tokenize(d.get("text"))
+            toks = tokenize(d.get("text"), analyzer)
             self.tokens[did] = toks
             self.dl[did] = len(toks)
             for t, tf in Counter(toks).items():
@@ -63,7 +64,7 @@ class OracleIndex:
         return {i for i, d in self.docs.items() if self._passes(d, f, exists)}
 
     def _phrase_ids(self, phrase: str, within: set) -> set:
-        pt = tokenize(phrase)
+        pt = tokenize(phrase, self.analyzer)
         if not pt:
             return within
         out = set()
@@ -104,11 +105,11 @@ class OracleIndex:
         """Relevance top-k [(doc_id, score)] with (score desc, doc_id asc)."""
         terms: List[str] = []
         for r in q.terms:
-            terms.extend(tokenize(r))
+            terms.extend(tokenize(r, self.analyzer))
         mode = q.mode
         cands = self._filtered_ids(q.filters, q.exists)
         if q.phrase:
-            for t in tokenize(q.phrase):
+            for t in tokenize(q.phrase, self.analyzer):
                 if t not in terms:
                     terms.append(t)
             mode = "and"
@@ -122,7 +123,7 @@ class OracleIndex:
         if q.terms:
             terms = []
             for r in q.terms:
-                terms.extend(tokenize(r))
+                terms.extend(tokenize(r, self.analyzer))
             return len(self.score(terms, q.mode, cands))
         return len(cands)
 
@@ -132,7 +133,7 @@ class OracleIndex:
         if q.terms:
             terms = []
             for r in q.terms:
-                terms.extend(tokenize(r))
+                terms.extend(tokenize(r, self.analyzer))
             cands = set(self.score(terms, q.mode, cands))
         if q.phrase:
             cands = self._phrase_ids(q.phrase, cands)

@@ -34,12 +34,12 @@ from nexlt_spark.scoring import contribution_col, idf
 EMPTY_SCORED_SCHEMA = "doc_id long, score double"
 
 
-def analyze_terms(raw: List[str]) -> List[str]:
+def analyze_terms(raw: List[str], analyzer: str = "standard") -> List[str]:
     """Run query terms through the shared analyzer (Q7: same chain both
     sides, schema.xml:241,293 stemming-at-both-ends analog)."""
     out: List[str] = []
     for r in raw:
-        out.extend(tokenize(r))
+        out.extend(tokenize(r, analyzer))
     return out
 
 
@@ -124,7 +124,9 @@ def score_postings(
     return fold_scores(p, idfs, avgdl, len(present) if mode == "and" else None)
 
 
-def phrase_candidates(documents: DataFrame, phrase_tokens: List[str]) -> DataFrame:
+def phrase_candidates(
+    documents: DataFrame, phrase_tokens: List[str], analyzer: str = "standard"
+) -> DataFrame:
     """doc_ids whose token stream contains the phrase as adjacent tokens.
 
     v1 strategy per SURVEY.md §7.4: token-AND candidates then exact
@@ -134,7 +136,9 @@ def phrase_candidates(documents: DataFrame, phrase_tokens: List[str]) -> DataFra
     """
     from nexlt_spark.analysis import tokenize_udf_col
 
-    joined = F.concat(F.lit(" "), F.array_join(tokenize_udf_col(F.col("text")), " "), F.lit(" "))
+    joined = F.concat(
+        F.lit(" "), F.array_join(tokenize_udf_col(F.col("text"), analyzer), " "), F.lit(" ")
+    )
     needle = " " + " ".join(phrase_tokens) + " "
     return documents.where(F.instr(joined, needle) > 0).select("doc_id")
 
@@ -160,9 +164,10 @@ def bm25_topk(
     q: Query,
 ) -> DataFrame:
     """Relevance-ranked top-k: (doc_id, score, …fl columns)."""
-    terms = analyze_terms(q.terms)
+    an = getattr(index, "analyzer", "standard")
+    terms = analyze_terms(q.terms, an)
     if q.phrase:
-        terms = terms + [t for t in tokenize(q.phrase) if t not in terms]
+        terms = terms + [t for t in tokenize(q.phrase, an) if t not in terms]
         mode = "and"
     else:
         mode = q.mode
@@ -173,7 +178,8 @@ def bm25_topk(
     if q.phrase:
         ph = phrase_candidates(
             documents if doc_filter is None else documents.join(doc_filter, "doc_id", "left_semi"),
-            tokenize(q.phrase),
+            tokenize(q.phrase, an),
+            an,
         )
         doc_filter = ph
 
@@ -193,11 +199,13 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
     """Dispatch over the full query surface (SURVEY.md §2.7)."""
     spark = documents.sparkSession
 
+    an = getattr(index, "analyzer", "standard")
+
     # match-all / count-only: numFound (A6)
     if q.count_only:
         base = filter_documents(documents, q.filters, q.exists)
         if q.terms:
-            terms = analyze_terms(q.terms)
+            terms = analyze_terms(q.terms, an)
             scored = score_postings(index, terms, q.mode, base.select("doc_id"))
             return scored.agg(F.count(F.lit(1)).alias("num_found"))
         return base.agg(F.count(F.lit(1)).alias("num_found"))
@@ -210,11 +218,13 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
         if "text_lc" not in base.columns:
             base = base.withColumn("text_lc", F.lower(F.col("text")))
         if q.terms:
-            terms = analyze_terms(q.terms)
+            terms = analyze_terms(q.terms, an)
             scored = score_postings(index, terms, q.mode, base.select("doc_id"))
             base = base.join(scored.select("doc_id"), "doc_id", "left_semi")
         if q.phrase:
-            base = base.join(phrase_candidates(base, tokenize(q.phrase)), "doc_id", "left_semi")
+            base = base.join(
+                phrase_candidates(base, tokenize(q.phrase, an), an), "doc_id", "left_semi"
+            )
         cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in q.sort]
         if not any(c == "text_lc" for c, _ in q.sort):
             cols.append(F.col("text_lc").asc())

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nexlt_spark.index.blocks import DECODED_SCHEMA, BlockedIndex
-from nexlt_spark.index.codec import decode_block
+from nexlt_spark.index.codec import decode_block_rows
 from nexlt_spark.query.exact import EMPTY_SCORED_SCHEMA, fold_scores, idf_map_col
 from nexlt_spark.scoring import idf
 
@@ -78,31 +78,35 @@ def _decode_filtered(
             if len(pdf) == 0:
                 continue
             if keep_doc_ids is not None:
+                # skip-list jump: drop blocks whose docID range intersects
+                # no candidate slice BEFORE any decode happens
                 lo = pdf["first_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
                 hi = pdf["last_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
                 hits = np.searchsorted(slices, hi, "right") > np.searchsorted(slices, lo, "left")
                 pdf = pdf[hits]
-            outs = []
-            for term, n, _f, _l, e_ids, e_tfs, e_dls in pdf.itertuples(index=False):
-                ids, tfs, dls = decode_block(bytes(e_ids), bytes(e_tfs), bytes(e_dls), int(n))
-                ids = ids.astype(np.int64)
-                if keep_doc_ids is not None:
-                    m = np.isin(ids, keep_doc_ids, assume_unique=False)
-                    if not m.any():
-                        continue
-                    ids, tfs, dls = ids[m], tfs[m], dls[m]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": term,
-                            "doc_id": ids,
-                            "tf": tfs.astype(np.int32),
-                            "dl": dls.astype(np.int32),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                if len(pdf) == 0:
+                    continue
+            block_of, ids, tfs, dls = decode_block_rows(
+                [bytes(x) for x in pdf["doc_ids"]],
+                [bytes(x) for x in pdf["tfs"]],
+                [bytes(x) for x in pdf["dls"]],
+                pdf["n"].to_numpy(),
+            )
+            ids = ids.astype(np.int64)
+            terms = pdf["term"].to_numpy()[block_of]
+            if keep_doc_ids is not None:
+                m = np.isin(ids, keep_doc_ids, assume_unique=False)
+                if not m.any():
+                    continue
+                ids, tfs, dls, terms = ids[m], tfs[m], dls[m], terms[m]
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": ids,
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int32),
+                }
+            )
 
     return sel.mapInPandas(dec, schema=DECODED_SCHEMA)
 

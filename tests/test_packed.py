@@ -1,0 +1,102 @@
+"""Packed posting-run build ≡ flat build (the scale-path equivalence).
+
+build_blocked_direct must produce an index whose decoded postings,
+stats, and query results are identical to the flat path's blocked index
+— only the physical build dataflow differs (packed runs vs posting
+rows).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexlt_spark.index.blocks import build_blocks, decode_terms, load_blocked_index
+from nexlt_spark.index.packed import build_blocked_direct, save_blocked
+from nexlt_spark.query.exact import score_postings
+from nexlt_spark.query.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def packed_idx(documents):
+    return build_blocked_direct(documents).persist()
+
+
+def _decoded(bidx, terms):
+    return sorted(
+        tuple(r)
+        for r in bidx.lookup(terms).select("term", "doc_id", "tf", "dl").collect()
+    )
+
+
+def test_packed_stats_match_flat(index, packed_idx):
+    assert packed_idx.stats.n_docs == index.stats.n_docs
+    assert packed_idx.stats.total_tokens == index.stats.total_tokens
+
+
+def test_packed_term_stats_match_flat(index, packed_idx):
+    flat = sorted(tuple(r) for r in index.term_stats.collect())
+    packed = sorted(tuple(r) for r in packed_idx.term_stats.collect())
+    assert packed == flat
+
+
+def test_packed_doc_stats_match_flat(index, packed_idx):
+    flat = sorted(tuple(r) for r in index.doc_stats.collect())
+    packed = sorted(tuple(r) for r in packed_idx.doc_stats.collect())
+    assert packed == flat
+
+
+def test_packed_postings_match_flat(index, packed_idx):
+    terms = [r["term"] for r in index.term_stats.select("term").collect()]
+    flat = sorted(
+        tuple(r) for r in index.postings.select("term", "doc_id", "tf", "dl").collect()
+    )
+    assert _decoded(packed_idx, terms) == flat
+
+
+def test_packed_blocks_are_docid_sorted_disjoint_ranges(packed_idx):
+    rows = packed_idx.blocks.select(
+        "term", "rsalt", "block_id", "first_doc_id", "last_doc_id"
+    ).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: (r["rsalt"], r["block_id"]))
+        prev_last = -1
+        for r in rs:
+            assert r["first_doc_id"] > prev_last, term
+            assert r["last_doc_id"] >= r["first_doc_id"]
+            prev_last = r["last_doc_id"]
+
+
+def test_packed_query_scores_match_flat(index, packed_idx):
+    for terms, mode in [(["the"], "or"), (["run", "file"], "and"), (["error", "data"], "or")]:
+        flat = sorted(
+            tuple(r) for r in score_postings(index, terms, mode).collect()
+        )
+        packed = sorted(
+            tuple(r) for r in score_postings(packed_idx, terms, mode).collect()
+        )
+        assert packed == flat, (terms, mode)
+
+
+def test_packed_wand_topk(packed_idx, index):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(packed_idx, ["error", "data"], k=10, mode="or").collect()
+    ]
+    want_df = score_postings(index, ["error", "data"], "or")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in want_df.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10).collect()
+    ]
+    assert got == want
+
+
+def test_packed_save_load_roundtrip(spark, packed_idx, index, tmp_path):
+    path = str(tmp_path / "store")
+    save_blocked(packed_idx, path, n_buckets=8)
+    loaded = load_blocked_index(spark, path)
+    assert loaded.stats.n_docs == index.stats.n_docs
+    assert loaded.analyzer == "standard"
+    terms = ["the", "error", "data"]
+    assert _decoded(loaded, terms) == _decoded(packed_idx, terms)

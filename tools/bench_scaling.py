@@ -42,9 +42,20 @@ DEFAULT_INPUT = "/tmp/nexlt_scaling/input"
 
 
 def _worker(cpus: int, input_dir: str, repeats: int) -> None:
-    from pyspark.sql import functions as F
+    """One parallelism level: warm JVM, then time the FULL production
+    pipeline (flatten -> index -> blocked/compressed store on disk), then
+    query p50 against the bucket-pruned blocked store.
 
-    from nexlt_spark.index.build import build_index
+    The warmup build (5% sample through the identical code path) exists
+    because a cold JVM spends 10-20 s JIT-compiling Spark/codegen — noise
+    that would swamp the scaling signal; cluster executors are long-lived
+    and warm, so the warm measurement is the faithful one.
+    """
+    import shutil
+    import tempfile
+
+    from nexlt_spark.index.blocks import load_blocked_index
+    from nexlt_spark.index.packed import build_blocked_direct, save_blocked
     from nexlt_spark.flatten import flatten_transcripts
     from nexlt_spark.query.exact import bm25_topk
     from nexlt_spark.query.model import Query, QueryFilters
@@ -61,15 +72,31 @@ def _worker(cpus: int, input_dir: str, repeats: int) -> None:
     )
     transcripts = spark.read.parquet(input_dir)
     n_turns = transcripts.count()  # warm FS cache outside the timer
+    store = tempfile.mkdtemp(prefix=f"nexlt_store_{cpus}_")
 
+    def full_build(src, out):
+        # the scale-path pipeline: packed posting runs (index.packed)
+        documents = flatten_transcripts(src).persist()
+        idx = build_blocked_direct(documents)
+        save_blocked(idx, out, n_buckets=32)
+        return documents, idx
+
+    # ---- warmup: identical code path on a 5% sample ----------------------
+    warm_docs, warm_idx = full_build(
+        transcripts.sample(0.05, seed=1), os.path.join(store, "warm")
+    )
+    spark.catalog.clearCache()
+
+    # ---- timed: one full-pipeline build (the parent interleaves and
+    # medians multiple fresh-JVM invocations per level to beat the
+    # machine's run-to-run variance) ---------------------------------------
     t0 = time.perf_counter()
-    documents = flatten_transcripts(transcripts).persist()
-    idx = build_index(documents).persist()
-    idx.postings.count()
-    idx.term_stats.count()
-    documents.count()
+    documents, idx = full_build(transcripts, os.path.join(store, "main"))
     build_sec = time.perf_counter() - t0
 
+    # ---- queries against the on-disk bucket-pruned blocked store ---------
+    bidx = load_blocked_index(spark, os.path.join(store, "main")).persist()
+    bidx.term_stats.count()
     queries = [
         Query(terms=["error"], k=10),
         Query(terms=["the"], k=10),  # Zipf head
@@ -78,12 +105,12 @@ def _worker(cpus: int, input_dir: str, repeats: int) -> None:
         Query(terms=["data"], filters=QueryFilters(roles=["user", "assistant"]), k=10),
     ]
     for q in queries:  # warm plans/broadcasts
-        bm25_topk(idx, documents, q).collect()
+        bm25_topk(bidx, documents, q).collect()
     lats = []
     for _ in range(repeats):
         for q in queries:
             t0 = time.perf_counter()
-            bm25_topk(idx, documents, q).collect()
+            bm25_topk(bidx, documents, q).collect()
             lats.append(time.perf_counter() - t0)
 
     print(
@@ -94,10 +121,10 @@ def _worker(cpus: int, input_dir: str, repeats: int) -> None:
                 "build_sec": round(build_sec, 3),
                 "turns_per_sec": round(n_turns / build_sec, 1),
                 "query_p50_sec": round(statistics.median(lats), 4),
-                "n_postings": idx.postings.count(),
             }
         )
     )
+    shutil.rmtree(store, ignore_errors=True)
     spark.stop()
 
 
@@ -139,6 +166,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
 
     if args.worker:
@@ -150,11 +178,27 @@ def main() -> None:
         _gen_input(args.input, args.convs)
 
     lo, hi = (int(x) for x in args.levels.split(","))
+    runs = {lo: [], hi: []}
+    # interleaved A/B/A/B...: each level measured `trials` times in fresh
+    # JVMs, alternating, so slow machine drift hits both levels equally;
+    # median per level is the reported number
+    for trial in range(args.trials):
+        for cpus in (lo, hi):
+            print(f"trial {trial}: worker at local[{cpus}] ...", file=sys.stderr)
+            r = _run_worker(cpus, args.input, args.repeats)
+            runs[cpus].append(r)
+            print(json.dumps(r), file=sys.stderr)
+
     res = {}
     for cpus in (lo, hi):
-        print(f"running worker at local[{cpus}] ...", file=sys.stderr)
-        res[cpus] = _run_worker(cpus, args.input, args.repeats)
-        print(json.dumps(res[cpus]), file=sys.stderr)
+        med_tps = statistics.median(r["turns_per_sec"] for r in runs[cpus])
+        res[cpus] = dict(runs[cpus][0])
+        res[cpus]["turns_per_sec"] = round(med_tps, 1)
+        res[cpus]["build_sec"] = round(res[cpus]["n_turns"] / med_tps, 3)
+        res[cpus]["query_p50_sec"] = round(
+            statistics.median(r["query_p50_sec"] for r in runs[cpus]), 4
+        )
+        res[cpus]["all_tps"] = [r["turns_per_sec"] for r in runs[cpus]]
 
     ratio = hi / lo
     eff = (res[hi]["turns_per_sec"] / res[lo]["turns_per_sec"]) / ratio
@@ -170,10 +214,15 @@ def main() -> None:
 ## 4. Measured scaling evidence (north_rule: N vs 4N)
 
 Same job, same input (deterministic synth transcripts, seed=42,
-{res[lo]['n_turns']} turns, one shared parquet fileset), fresh JVM per level,
-shuffle partitions = 4 x cores (the job scales its task counts with the
-cluster exactly as a real submission would). Produced by
-`python tools/bench_scaling.py`.
+{res[lo]['n_turns']} turns, one shared parquet fileset). Protocol: fresh JVM
+per run, JIT warmed via an identical 5% build, shuffle partitions =
+4 x cores (the job scales its task counts with the cluster exactly as a
+real submission would), levels interleaved A/B x{args.trials} and medianed to
+cancel machine drift. Pipeline timed end-to-end: flatten (stable docIDs)
+-> tokenize/tf -> stats -> salted blocked encode -> bucket-partitioned
+store on disk. Produced by `python tools/bench_scaling.py`.
+Per-trial throughputs: local[{lo}] {res[lo]['all_tps']},
+local[{hi}] {res[hi]['all_tps']}.
 
 | Parallelism | Build (s) | Throughput (turns/s) | Query p50 (s) |
 |---|---|---|---|
