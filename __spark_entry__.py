@@ -54,7 +54,22 @@ def _index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[sf_dir]
 
 
-def _bm25(spark, sf_dir, terms, k=10, mode="or", lang=None, phrase=None):
+def _blocked_index(spark: SparkSession, sf_dir: str):
+    key = ("blocked", sf_dir)
+    if key not in _INDEX_CACHE:
+        from nexlt_spark.index.blocks import BlockedIndex, build_blocks
+
+        idx = _index(spark, sf_dir)
+        _INDEX_CACHE[key] = BlockedIndex(
+            blocks=build_blocks(idx).persist(),
+            doc_stats=idx.doc_stats,
+            term_stats=idx.term_stats,
+            stats=idx.stats,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _bm25(spark, sf_dir, terms, k=10, mode="or", lang=None, phrase=None, not_terms=None):
     """BM25 top-k over documents.parquet; (doc_id, score) rounded 6dp.
 
     Composes the engine primitives directly (the documents table has
@@ -73,6 +88,12 @@ def _bm25(spark, sf_dir, terms, k=10, mode="or", lang=None, phrase=None):
         terms = sorted(set(terms) | set(tokenize(phrase)))
         mode = "and"
     scored = score_postings(idx, terms, mode, doc_filter)
+    if not_terms:
+        from nexlt_spark.query.exact import prohibited_docs
+
+        excl = prohibited_docs(idx, not_terms)
+        if excl is not None:
+            scored = scored.join(excl, "doc_id", "left_anti")
     top = paginate(scored, [F.col("score").desc(), F.col("doc_id").asc()], 0, k)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -154,6 +175,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_multi_and"] = lambda s, d: _bm25(s, d, ["spark", "join"], k=10, mode="and")  # J4
     q["bm25_phrase"] = lambda s, d: _bm25(s, d, [], k=10, phrase="table part")  # Q2
     q["bm25_filtered"] = lambda s, d: _bm25(s, d, ["value"], k=10, lang="en")  # SO1/SO2
+    q["bm25_not"] = lambda s, d: _bm25(s, d, ["spark"], k=10, not_terms=["join"])  # SO3 NOT
+
+    def _bm25_synonyms(s, d):  # Q6 query-time synonym expansion
+        from nexlt_spark.query.enrich import expand_synonyms, parse_synonyms
+
+        mapping = parse_synonyms(["join, merge"])
+        return _bm25(s, d, expand_synonyms(["join"], mapping), k=10)
+
+    q["bm25_synonyms"] = _bm25_synonyms
+
+    def _bm25_wand(s, d):  # P14 Block-Max WAND fast path ≡ exact BM25
+        from nexlt_spark.query.wand import wand_topk
+
+        bidx = _blocked_index(s, d)
+        top = wand_topk(bidx, ["spark", "join"], k=10, mode="or")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_wand_or"] = _bm25_wand
+
+    def _realtime_get(s, d):  # S10 /get point lookup by id
+        return _docs(s, d).where(F.col("doc_id") == 42).select("doc_id", "lang", "source", "text")
+
+    q["realtime_get"] = _realtime_get
+
+    def _highlight(s, d):  # Q9 highlighting fragments
+        from nexlt_spark.query.enrich import highlight
+
+        base = _docs(s, d).where(F.col("doc_id") < 20).select("doc_id", "text")
+        out = highlight(base, ["spark"], fragsize=1_000_000)
+        return out.select("doc_id", "snippet")
+
+    q["highlight_snippets"] = _highlight
+
+    def _moses(s, d):  # S9 Moses-delimited export lines
+        from nexlt_spark.ops.export import moses_lines
+
+        base = _docs(s, d).where(F.col("doc_id") < 20)
+        return moses_lines(base, ["doc_id", "lang", "text"])
+
+    q["moses_export_lines"] = _moses
 
     def _existence_count(s, d):  # Q3/A6: <lang>:[* TO *] analog
         return (
@@ -294,6 +355,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash_pairs"] = _simhash_pairs
 
+    def _ngram_jaccard(s, d):
+        # exact inverted-shingle-index variant (full recall; no MinHash loss)
+        return minhash.ngram_jaccard_pairs(_docs(s, d), threshold=0.9, shingle_n=3)
+
+    q["dedup_ngram_jaccard_pairs"] = _ngram_jaccard
+
+    def _multimodal_profile(s, d):
+        # binary media plumbing (decode is a deterministic fake — no media
+        # libs in this container); rows-only check, seeded synth input
+        from nexlt_spark.ops import multimodal
+
+        media = multimodal.synth_media(s, n=64, seed=42)
+        return multimodal.metadata_profile(media)
+
+    q["multimodal_metadata_profile"] = _multimodal_profile
+
     def _rolling_fp(s, d):
         return textstats.char_ngram_fingerprint(_docs(s, d), n=16).where(F.col("doc_id") < 50)
 
@@ -358,6 +435,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c0.doc_id AS doc_id, round(c0.c, 6) AS score\n"
         "FROM c0 JOIN f ON f.doc_id = c0.doc_id "
         "ORDER BY c0.c DESC, c0.doc_id ASC LIMIT 10"
+    )
+
+    o["bm25_not"] = (
+        _PRE + f", {_contrib_cte('c0', 'spark')}\n"
+        "SELECT doc_id, round(c, 6) AS score FROM c0\n"
+        "WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'join')\n"
+        "ORDER BY c DESC, doc_id ASC LIMIT 10"
+    )
+    o["bm25_synonyms"] = _sql_bm25_2("join", "merge", "or")
+    o["bm25_wand_or"] = _sql_bm25_2("spark", "join", "or")
+    o["realtime_get"] = (
+        "SELECT doc_id, lang, source, text FROM documents WHERE doc_id = 42"
+    )
+    o["highlight_snippets"] = (
+        "SELECT doc_id, regexp_replace(text, '(?i)\\b(spark)\\b', '<em>\\1</em>', 'g')"
+        " AS snippet FROM documents WHERE doc_id < 20"
+    )
+    o["moses_export_lines"] = (
+        "SELECT CAST(doc_id AS VARCHAR) || '◊' || coalesce(lang, '') || '◊' ||"
+        " coalesce(text, '') AS value FROM documents WHERE doc_id < 20"
     )
 
     o["existence_count"] = (
@@ -460,6 +557,19 @@ def oracle_sql() -> dict[str, str]:
         "    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.9"
     )
     # dedup_simhash_pairs: xxhash64 not available in DuckDB — rows-only check
+    # multimodal_metadata_profile: synthetic binary media, no table — rows-only
+
+    # exact variant: the engine's inverted-shingle-index candidates have
+    # full recall, so it must equal the exhaustive all-pairs scan exactly
+    o["dedup_ngram_jaccard_pairs"] = (
+        _SHINGLE_CTE
+        + "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)\n"
+        "    / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard\n"
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)\n"
+        "    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.9"
+    )
 
     o["doc_fingerprint"] = (
         "SELECT doc_id, md5(substring(text, 1, 16) || '|' || right(text, 16) || '|'\n"

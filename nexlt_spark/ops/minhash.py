@@ -153,6 +153,53 @@ def near_duplicate_pairs(
     return pairs
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs (full recall, no hashing loss).
+
+    Candidate generation is an inverted shingle index: explode distinct
+    shingles to (xxhash64(shingle), doc_id) postings and self-join on the
+    8-byte key — the shuffle carries hashes, never documents. Exact for
+    any threshold > 0 because J(A,B) > 0 ⟺ the pair shares a shingle
+    (a hash collision can only ADD a candidate; the exact-Jaccard verify
+    removes it). Complement to the MinHash path: full recall at the cost
+    of quadratic blowup on ultra-common shingles — at 100 TB you bound
+    that by capping shingle df (losing only pairs whose every shared
+    shingle is that common) or by falling back to MinHash.
+    """
+    toks = tokens_col() if text_col == "text" else F.split(F.lower(F.col(text_col)), r"\s+")
+    base = (
+        docs.where(F.size(toks) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles_col(toks, shingle_n)).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+    )
+    posting = base.select(
+        "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shk")
+    )
+    a = posting.select(F.col("doc_id").alias("doc_a"), "shk")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "shk")
+    cands = (
+        a.join(b, "shk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    )
+    sh = base.select("doc_id", "shingles")
+    return (
+        cands.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a"
+        )
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select("doc_a", "doc_b", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash: 64-bit tf-weighted fingerprint + banded Hamming near-dup
 # --------------------------------------------------------------------------

@@ -100,6 +100,14 @@ class OracleIndex:
             out[did] = acc
         return out
 
+    def _not_ids(self, not_terms: Optional[List[str]]) -> set:
+        """doc_ids matching ANY prohibited term (SO3 NOT) — to exclude."""
+        out: set = set()
+        for r in not_terms or []:
+            for t in tokenize(r, self.analyzer):
+                out.update(self.postings.get(t, {}))
+        return out
+
     # -- full query surface ----------------------------------------------
     def topk(self, q: Query) -> List[Tuple[int, float]]:
         """Relevance top-k [(doc_id, score)] with (score desc, doc_id asc)."""
@@ -107,7 +115,7 @@ class OracleIndex:
         for r in q.terms:
             terms.extend(tokenize(r, self.analyzer))
         mode = q.mode
-        cands = self._filtered_ids(q.filters, q.exists)
+        cands = self._filtered_ids(q.filters, q.exists) - self._not_ids(q.not_terms)
         if q.phrase:
             for t in tokenize(q.phrase, self.analyzer):
                 if t not in terms:
@@ -119,7 +127,7 @@ class OracleIndex:
         return ranked[q.start : q.start + q.k]
 
     def num_found(self, q: Query) -> int:
-        cands = self._filtered_ids(q.filters, q.exists)
+        cands = self._filtered_ids(q.filters, q.exists) - self._not_ids(q.not_terms)
         if q.terms:
             terms = []
             for r in q.terms:
@@ -129,7 +137,7 @@ class OracleIndex:
 
     def sorted_query(self, q: Query) -> List[int]:
         """Non-relevance sorted doc_id list (engine compared on doc_id)."""
-        cands = self._filtered_ids(q.filters, q.exists)
+        cands = self._filtered_ids(q.filters, q.exists) - self._not_ids(q.not_terms)
         if q.terms:
             terms = []
             for r in q.terms:

@@ -124,6 +124,22 @@ def score_postings(
     return fold_scores(p, idfs, avgdl, len(present) if mode == "and" else None)
 
 
+def prohibited_docs(index: InvertedIndex, not_terms: List[str], analyzer: str = "standard"):
+    """doc_ids matching ANY prohibited term (SO3 NOT clause,
+    CGI/parallel.cgi raw Lucene syntax). Returns None when no analyzed
+    not-term exists in the index (nothing to exclude). Posting-set union —
+    NOT is then a left_anti join, never a scan of documents."""
+    nts = sorted(set(analyze_terms(not_terms, analyzer)))
+    present = [t for t in nts if t in index.term_dfs(nts)]
+    if not present:
+        return None
+    if hasattr(index, "lookup"):
+        p = index.lookup(present)
+    else:
+        p = index.postings.where(F.col("term").isin(present))
+    return p.select("doc_id").distinct()
+
+
 def phrase_candidates(
     documents: DataFrame, phrase_tokens: List[str], analyzer: str = "standard"
 ) -> DataFrame:
@@ -184,6 +200,10 @@ def bm25_topk(
         doc_filter = ph
 
     scored = score_postings(index, terms, mode, doc_filter)
+    if q.not_terms:
+        excl = prohibited_docs(index, q.not_terms, an)
+        if excl is not None:
+            scored = scored.join(excl, "doc_id", "left_anti")
     sort_cols = [F.col("score").desc(), F.col("doc_id").asc()]
     topk = paginate(scored, sort_cols, q.start, q.k)
 
@@ -200,10 +220,14 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
     spark = documents.sparkSession
 
     an = getattr(index, "analyzer", "standard")
+    excl = prohibited_docs(index, q.not_terms, an) if q.not_terms else None
+
+    def _not(df: DataFrame) -> DataFrame:
+        return df if excl is None else df.join(excl, "doc_id", "left_anti")
 
     # match-all / count-only: numFound (A6)
     if q.count_only:
-        base = filter_documents(documents, q.filters, q.exists)
+        base = _not(filter_documents(documents, q.filters, q.exists))
         if q.terms:
             terms = analyze_terms(q.terms, an)
             scored = score_postings(index, terms, q.mode, base.select("doc_id"))
@@ -214,7 +238,7 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
     # srclc asc as final tiebreak (solrTestLib_v2.js:83-96); we append
     # doc_id asc for total determinism.
     if q.sort:
-        base = filter_documents(documents, q.filters, q.exists)
+        base = _not(filter_documents(documents, q.filters, q.exists))
         if "text_lc" not in base.columns:
             base = base.withColumn("text_lc", F.lower(F.col("text")))
         if q.terms:
@@ -234,7 +258,7 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
 
     if not q.terms and not q.phrase:
         # pure filter query (existence etc.): deterministic doc_id order
-        base = filter_documents(documents, q.filters, q.exists)
+        base = _not(filter_documents(documents, q.filters, q.exists))
         fl = q.fl or base.columns
         return paginate(base, [F.col("doc_id").asc()], q.start, q.k).select(*fl)
 

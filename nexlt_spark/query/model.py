@@ -39,6 +39,10 @@ class Query:
     terms    — scored bag of terms (already-analyzed forms are fine; raw
                text is passed through the shared tokenizer).
     mode     — 'or' (default Lucene SHOULD) or 'and' (corpus.cgi:338 AND).
+    not_terms — Lucene NOT / prohibited clauses (parallel.cgi raw syntax,
+               SURVEY.md SO3): docs containing ANY of these terms are
+               excluded. Non-scoring, like fq — exclusion never changes
+               surviving docs' scores.
     phrase   — exact-phrase filter, fq enu:"..." analog
                (solrTestLib_v2.js:43,53); non-scoring, candidates scored
                by their terms.
@@ -57,6 +61,7 @@ class Query:
 
     terms: List[str] = field(default_factory=list)
     mode: str = "or"
+    not_terms: Optional[List[str]] = None
     phrase: Optional[str] = None
     filters: QueryFilters = field(default_factory=QueryFilters)
     sort: Optional[List[Tuple[str, str]]] = None

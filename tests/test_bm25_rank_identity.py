@@ -38,6 +38,16 @@ QUERIES = [
     ("paginated", Query(terms=["query"], start=20, k=10)),
     ("deep_page", Query(terms=["w1997"], start=100000, k=10)),
     ("mixed_case_query", Query(terms=["ERROR"], k=10)),
+    # SO3 NOT clauses (parallel.cgi raw Lucene syntax): prohibited terms
+    # are non-scoring exclusions
+    ("not_term", Query(terms=["run"], not_terms=["file"], k=10)),
+    ("not_multi", Query(terms=["spark", "index"], mode="or", not_terms=["the"], k=10)),
+    ("not_absent", Query(terms=["run"], not_terms=["zzzznotaword"], k=10)),
+    ("not_and_mode", Query(terms=["run", "file"], mode="and", not_terms=["error"], k=10)),
+    (
+        "not_with_filter",
+        Query(terms=["data"], not_terms=["table"], filters=QueryFilters(roles=["user"]), k=10),
+    ),
 ]
 
 
@@ -80,6 +90,8 @@ def test_num_found_matches(index, documents, oracle):
         Query(terms=["spark"], count_only=True),
         Query(terms=["spark", "join"], mode="and", count_only=True),
         Query(count_only=True, filters=QueryFilters(roles=["tool"])),
+        Query(terms=["spark"], not_terms=["join"], count_only=True),
+        Query(count_only=True, not_terms=["the"]),
     ]:
         got = run_query(index, documents, q).collect()[0]["num_found"]
         assert got == oracle.num_found(q)
@@ -91,6 +103,7 @@ def test_sorted_queries_match(index, documents, oracle):
         Query(terms=["table"], sort=[("role", "asc")], k=50),
         Query(terms=["table"], sort=[("role", "desc")], k=25),
         Query(sort=[("text_lc", "asc")], exists=True, k=30, start=10),
+        Query(terms=["query"], not_terms=["run"], sort=[("text_lc", "asc")], k=50),
     ]:
         got = [r["doc_id"] for r in run_query(index, documents, q).select("doc_id").collect()]
         assert got == oracle.sorted_query(q)

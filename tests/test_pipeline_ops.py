@@ -71,6 +71,25 @@ def test_minhash_finds_planted_near_dups(corpus):
     assert (4, 5) in pairs
 
 
+def test_ngram_jaccard_pairs_equal_bruteforce(corpus):
+    """The exact inverted-shingle-index path ≡ exhaustive all-pairs scan
+    (full recall — unlike MinHash there is no probabilistic candidate loss)."""
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for threshold in (0.3, 0.5, 0.9):
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            j = round(_jaccard(_shingles(texts[a]), _shingles(texts[b])), 6)
+            if j >= threshold:
+                want[(a, b)] = j
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash.ngram_jaccard_pairs(corpus, threshold=threshold).collect()
+        }
+        assert got.keys() == want.keys(), threshold
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
 def test_simhash_identical_texts_equal(corpus):
     sigs = {r["doc_id"]: r["simhash"] for r in minhash.simhash_signatures(corpus).collect()}
     assert sigs[0] == sigs[1]

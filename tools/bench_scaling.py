@@ -139,7 +139,7 @@ def _gen_input(input_dir: str, n_convs: int) -> None:
     spark.stop()
 
 
-def _run_worker(cpus: int, input_dir: str, repeats: int) -> dict:
+def _run_worker(cpus: int, input_dir: str, repeats: int, pin: bool = False) -> dict:
     cmd = [
         sys.executable,
         os.path.abspath(__file__),
@@ -150,6 +150,14 @@ def _run_worker(cpus: int, input_dir: str, repeats: int) -> dict:
         "--repeats",
         str(repeats),
     ]
+    if pin:
+        # Pin the whole process tree (driver JVM, task threads, Python
+        # workers) to exactly `cpus` physical cores. Unpinned, the local[N]
+        # level's N task threads + N Python workers spread over ALL 32
+        # physical cores — the small "cluster" silently borrows 4x its core
+        # budget, which understates scaling. An N-core cluster has N cores;
+        # taskset makes the stand-in honest.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ, NEXLT_DRIVER_MEM="48g")
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, check=True, env=env
@@ -167,6 +175,11 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset-pin each level to exactly N cores (faithful N-core cluster stand-in)",
+    )
     args = ap.parse_args()
 
     if args.worker:
@@ -185,7 +198,7 @@ def main() -> None:
     for trial in range(args.trials):
         for cpus in (lo, hi):
             print(f"trial {trial}: worker at local[{cpus}] ...", file=sys.stderr)
-            r = _run_worker(cpus, args.input, args.repeats)
+            r = _run_worker(cpus, args.input, args.repeats, pin=args.pin)
             runs[cpus].append(r)
             print(json.dumps(r), file=sys.stderr)
 
