@@ -74,11 +74,20 @@ def _worker(cpus: int, input_dir: str, repeats: int) -> None:
     n_turns = transcripts.count()  # warm FS cache outside the timer
     store = tempfile.mkdtemp(prefix=f"nexlt_store_{cpus}_")
 
-    def full_build(src, out):
-        # the scale-path pipeline: packed posting runs (index.packed)
+    def full_build(src, out, phases=None):
+        # the scale-path pipeline: packed posting runs (index.packed).
+        # Phase split costs nothing extra: build_blocked_direct's stats
+        # collect materializes flatten+emit+persist; encode+store-write
+        # run lazily inside save_blocked.
+        t = time.perf_counter()
         documents = flatten_transcripts(src).persist()
         idx = build_blocked_direct(documents)
+        if phases is not None:
+            phases["flatten_emit"] = round(time.perf_counter() - t, 2)
+        t = time.perf_counter()
         save_blocked(idx, out, n_buckets=32)
+        if phases is not None:
+            phases["encode_save"] = round(time.perf_counter() - t, 2)
         return documents, idx
 
     # ---- warmup: identical code path on a 5% sample ----------------------
@@ -90,8 +99,9 @@ def _worker(cpus: int, input_dir: str, repeats: int) -> None:
     # ---- timed: one full-pipeline build (the parent interleaves and
     # medians multiple fresh-JVM invocations per level to beat the
     # machine's run-to-run variance) ---------------------------------------
+    phases: dict = {}
     t0 = time.perf_counter()
-    documents, idx = full_build(transcripts, os.path.join(store, "main"))
+    documents, idx = full_build(transcripts, os.path.join(store, "main"), phases)
     build_sec = time.perf_counter() - t0
 
     # ---- queries against the on-disk bucket-pruned blocked store ---------
@@ -119,6 +129,7 @@ def _worker(cpus: int, input_dir: str, repeats: int) -> None:
                 "cpus": cpus,
                 "n_turns": n_turns,
                 "build_sec": round(build_sec, 3),
+                "phases": phases,
                 "turns_per_sec": round(n_turns / build_sec, 1),
                 "query_p50_sec": round(statistics.median(lats), 4),
             }
