@@ -77,6 +77,24 @@ def scrub_and_project(docs: DataFrame) -> DataFrame:
     )
 
 
+def positional_to_records(
+    df: DataFrame, values_col: str, field_names: Sequence[str], keep: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """S5: positional-array rows → named columns.
+
+    The reference's Passolo JSON stores a header array of field names and
+    per-record positional value arrays (jString.pm:49-79,
+    jStringList.pm:27-63: ``string_prop_names`` defines the order, each
+    string is an array read by index). Spark-first that is a pure
+    projection — ``try_element_at(values, i)`` per field, no UDF; missing
+    trailing fields become NULL (out-of-range → NULL under ANSI mode),
+    the Perl reader's undef.
+    """
+    base = [F.col(c) for c in (keep if keep is not None else [c for c in df.columns if c != values_col])]
+    cols = [F.try_element_at(F.col(values_col), F.lit(i + 1)).alias(n) for i, n in enumerate(field_names)]
+    return df.select(*base, *cols)
+
+
 def collect_multivalued(df: DataFrame, key: str, value: str, out_col: str) -> DataFrame:
     """A1: accumulate multi-valued field per key (productname JSON array,
     AthenaExportMt.java:429-440) — deterministic sorted-distinct form."""

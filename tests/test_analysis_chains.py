@@ -185,3 +185,24 @@ def test_export_tsv_roundtrip(spark, tmp_path):
     back = spark.read.option("sep", "\t").option("header", True).csv(p)
     got = sorted(tuple(r) for r in back.collect())
     assert got == [("0", "clean text", "en"), ("1", "tab here nl there", "fr")]
+
+
+# -- S5: positional-array record decode ------------------------------------
+
+
+def test_positional_to_records(spark):
+    """Header-defined field order, by-index projection, short rows → NULL
+    (the Perl reader's undef for missing trailing props)."""
+    from nexlt_spark.ops.ingest import positional_to_records
+
+    header = ["id", "src", "trn", "state"]
+    rows = [
+        (1, ["s1", "hello", "hallo", "translated"]),
+        (2, ["s2", "bye", "tschuess"]),  # short row: state missing
+    ]
+    df = spark.createDataFrame(rows, "rec long, vals array<string>")
+    out = positional_to_records(df, "vals", header)
+    got = {r["rec"]: (r["id"], r["src"], r["trn"], r["state"]) for r in out.collect()}
+    assert got[1] == ("s1", "hello", "hallo", "translated")
+    assert got[2] == ("s2", "bye", "tschuess", None)
+    assert out.columns == ["rec", "id", "src", "trn", "state"]
