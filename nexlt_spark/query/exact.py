@@ -80,6 +80,11 @@ def fold_scores(
     (SURVEY.md §7.4 rank-identity-under-floats). n_required: AND-mode
     arity check (doc must match all terms)."""
     contrib = contribution_col(idf_map_col(idfs), F.col("tf"), F.col("dl"), avgdl)
+    if len(idfs) == 1:
+        # single-term fast path: one posting row per doc ⇒ the fold is the
+        # identity — no groupBy shuffle at all. Float-identical to the
+        # general path (a sum of one contribution) ⇒ rank-identity holds.
+        return p.select("doc_id", contrib.alias("score"))
     g = p.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct(F.col("term"), contrib.alias("c")))).alias("cs")
     )
