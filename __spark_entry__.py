@@ -522,7 +522,9 @@ def oracle_sql() -> dict[str, str]:
     o["token_stats"] = (
         "WITH t AS (SELECT lang, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens\n"
         "  FROM documents)\n"
-        "SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,\n"
+        # CAST: DuckDB sum(BIGINT) yields HUGEINT (int128); Spark F.sum(int)
+        # yields LongType — values equal, serialized type differs, hash broke
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,\n"
         "  round(avg(n_tokens), 4) AS avg_tokens\n"
         "FROM t GROUP BY lang ORDER BY lang"
     )

@@ -110,6 +110,7 @@ def ingest_batch(
     transcripts_batch: DataFrame,
     path: str,
     build_id: str = "inc-0",
+    analyzer: str = "standard",
 ) -> Optional[BatchResult]:
     """Commit one transcript batch: new docs + tombstones + posting run.
 
@@ -123,6 +124,14 @@ def ingest_batch(
     os.makedirs(_manifest_dir(path), exist_ok=True)
     done = batches_done(path)
     batch = len(done)
+    # analyzer is a property of the whole store: a stemmed main index plus
+    # unstemmed batches would silently mix token forms — refuse loudly.
+    prior_an = done[-1].get("analyzer", "standard") if done else None
+    if prior_an is not None and prior_an != analyzer:
+        raise ValueError(
+            f"store at {path} was built with analyzer={prior_an!r}; "
+            f"cannot ingest a batch with analyzer={analyzer!r}"
+        )
     base_doc_id = (done[-1]["max_doc_id"] + 1) if done else 0
 
     new_docs = _flatten_batch(transcripts_batch, base_doc_id).persist()
@@ -152,7 +161,7 @@ def ingest_batch(
 
     # posting run for the new docs (same kernel as the full build)
     spark.read.parquet(doc_dir).select("doc_id", "text").mapInPandas(
-        _emit_postings("doc_id", "text"), schema=RAW_SCHEMA
+        _emit_postings("doc_id", "text", analyzer), schema=RAW_SCHEMA
     ).write.mode("overwrite").parquet(run_dir)
 
     max_id = base_doc_id + n_new - 1
@@ -174,6 +183,7 @@ def ingest_batch(
                 "n_tombstones": n_tombs,
                 "first_doc_id": base_doc_id,
                 "max_doc_id": max_id,
+                "analyzer": analyzer,
                 "seconds": round(res.seconds, 4),
             },
             fh,
@@ -229,7 +239,13 @@ def live_index(spark: SparkSession, path: str) -> InvertedIndex:
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
     ).collect()[0]
     stats = IndexStats(n_docs=int(agg["n"]), total_tokens=int(agg["tot"]))
-    return InvertedIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats, stats=stats)
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        term_stats=term_stats,
+        stats=stats,
+        analyzer=done[-1].get("analyzer", "standard"),
+    )
 
 
 def compact(spark: SparkSession, path: str, out_path: str, build_id: str = "compact-0") -> None:
@@ -268,6 +284,7 @@ def compact(spark: SparkSession, path: str, out_path: str, build_id: str = "comp
                 "n_tombstones": 0,
                 "first_doc_id": 0,
                 "max_doc_id": max_id,
+                "analyzer": done[-1].get("analyzer", "standard"),
                 "seconds": round(time.perf_counter() - t0, 4),
                 "compacted_from": [m["build_id"] for m in done],
             },

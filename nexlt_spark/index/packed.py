@@ -113,9 +113,12 @@ def _emit_packed(doc_id_col: str, text_col: str, analyzer: str, range_shift: int
             # group the batch's postings by (term code, rsalt): sort by the
             # fused key once, then split at boundaries — pure numpy. One
             # batch spans ≤ maxRecordsPerBatch docs, so its rsalt spread is
-            # tiny — rebase to the batch minimum to keep the key in range.
+            # tiny — rebase to the batch minimum and use the actual span as
+            # the multiplier so keys from different terms can never collide
+            # however sparse/offset the batch's doc_ids are.
             rel_rsalt = p_rsalt - p_rsalt.min()
-            fuse = p_term * (np.int64(1) << 20) + rel_rsalt
+            span = np.int64(rel_rsalt.max()) + 1
+            fuse = p_term * span + rel_rsalt
             order = np.argsort(fuse, kind="stable")
             p_doc, p_term, p_tf, p_dl, p_rsalt, fuse = (
                 p_doc[order], p_term[order], p_tf[order], p_dl[order], p_rsalt[order], fuse[order],

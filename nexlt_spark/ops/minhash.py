@@ -133,7 +133,14 @@ def near_duplicate_pairs(
 
     MinHash→LSH candidates → exact Jaccard verify. Output precision is
     exact; LSH bounds recall (a pair missed by every band is skipped —
-    the standard S-curve trade; raise n_hashes/bands for recall).
+    the standard S-curve trade; n_bands bands of n_hashes/n_bands rows
+    each: recall at similarity J is 1-(1-J^r)^b).
+
+    Persistence contract: the intermediate signatures DataFrame is
+    persisted for the duration of the call (it feeds candidate generation
+    and both sides of the verify join); the verified pairs are
+    materialized eagerly and the signature cache is released before
+    returning — callers never hold a hidden persisted handle.
     """
     sigs = minhash_signature(docs, n_hashes, shingle_n, id_col, text_col).persist()
     cands = lsh_candidate_pairs(sigs, n_bands)
@@ -150,6 +157,12 @@ def near_duplicate_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize the (small) verified-pair set, then release the big
+    # signature cache — the returned handle is the only thing persisted,
+    # and the caller owns it (may .unpersist() when done)
+    pairs = pairs.persist()
+    pairs.count()
+    sigs.unpersist()
     return pairs
 
 

@@ -47,6 +47,10 @@ def parse_synonyms(lines: Iterable[str], analyzer: str = "standard") -> Dict[str
         if not line or line.startswith("#"):
             continue
         if "=>" in line:
+            # explicit mapping: the LHS token is REPLACED by the RHS
+            # (SynonymFilterFactory semantics — the LHS itself does not
+            # survive expansion unless it also appears on the RHS or in
+            # an equivalence-class line)
             lhs, rhs = line.split("=>", 1)
             targets = [t for part in rhs.split(",") for t in norm(part)]
             for part in lhs.split(","):
@@ -63,13 +67,14 @@ def parse_synonyms(lines: Iterable[str], analyzer: str = "standard") -> Dict[str
 
 def expand_synonyms(terms: Sequence[str], mapping: Dict[str, List[str]]) -> List[str]:
     """Expand analyzed query terms through the synonym map (expand=true:
-    a mapped term contributes its whole class; unmapped terms pass
-    through). Deduplicated, sorted — deterministic OR-union."""
+    an equivalence-class member contributes its whole class — which
+    includes itself; an explicit '=>' LHS is replaced by its RHS only;
+    unmapped terms pass through). Deduplicated, sorted — deterministic
+    OR-union."""
     out = set()
     for t in terms:
         exp = mapping.get(t)
         out.update(exp if exp else [t])
-        out.add(t)
     return sorted(out)
 
 

@@ -48,9 +48,21 @@ def get_spark(
     # (~600 MB/s) serializes every shuffle-heavy stage — measured: the
     # 85M-row postings encode shuffle plateaus at ~25 s regardless of
     # core count until local dirs move off-disk.
-    local_dir = os.environ.get("NEXLT_LOCAL_DIR") or (
-        "/dev/shm/nexlt-spark-local" if os.path.isdir("/dev/shm") else None
-    )
+    # Memory trade-off: tmpfs spill consumes RAM — a shuffle larger than
+    # free /dev/shm can OOM the box instead of spilling to disk, so the
+    # default only engages when the tmpfs has ample free capacity.
+    # NEXLT_LOCAL_DIR always wins; set it to "" to force Spark's default.
+    if "NEXLT_LOCAL_DIR" in os.environ:
+        local_dir = os.environ["NEXLT_LOCAL_DIR"] or None
+    else:
+        local_dir = None
+        if os.path.isdir("/dev/shm"):
+            try:
+                st = os.statvfs("/dev/shm")
+                if st.f_bavail * st.f_frsize >= 16 << 30:  # ≥16 GiB free
+                    local_dir = "/dev/shm/nexlt-spark-local"
+            except OSError:
+                pass
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

@@ -115,8 +115,9 @@ def test_expand_synonyms():
     assert expand_synonyms(["gb", "other"], m) == [
         "gb", "gib", "gigabyte", "gigabytes", "other",
     ]
-    # mapped term keeps itself in the query union (scored if indexed)
-    assert "mb" in expand_synonyms(["mb"], m)
+    # '=>' mapping REPLACES the LHS token (SynonymFilterFactory semantics):
+    # a query for 'mb' matches megabyte/megabytes docs, not literal 'mb'
+    assert expand_synonyms(["mb"], m) == ["megabyte", "megabytes"]
 
 
 def test_synonym_query_reaches_synonym_docs(spark):
