@@ -49,7 +49,10 @@ def _index(spark: SparkSession, sf_dir: str):
         from nexlt_spark.deploy import ensure_shipped
 
         ensure_shipped(spark)
-        idx = build_index(_docs(spark, sf_dir)).persist()
+        # positions=True: phrase queries run off the postings' position
+        # arrays (query.exact.phrase_match_docs) — no per-query corpus
+        # re-tokenize (the Lucene positions-postings analog)
+        idx = build_index(_docs(spark, sf_dir), positions=True).persist()
         _INDEX_CACHE[sf_dir] = idx
     return _INDEX_CACHE[sf_dir]
 
@@ -81,10 +84,9 @@ def _bm25(spark, sf_dir, terms, k=10, mode="or", lang=None, phrase=None, not_ter
         doc_filter = docs.where(F.col("lang") == lang).select("doc_id")
     if phrase is not None:
         from nexlt_spark.analysis import tokenize
-        from nexlt_spark.query.exact import phrase_candidates
+        from nexlt_spark.query.exact import phrase_docs
 
-        base = docs if doc_filter is None else docs.join(doc_filter, "doc_id", "left_semi")
-        doc_filter = phrase_candidates(base, tokenize(phrase))
+        doc_filter = phrase_docs(idx, docs, tokenize(phrase), doc_filter=doc_filter)
         terms = sorted(set(terms) | set(tokenize(phrase)))
         mode = "and"
     scored = score_postings(idx, terms, mode, doc_filter)

@@ -70,7 +70,9 @@ def main():
 
     t0 = time.perf_counter()
     documents = flatten_transcripts(transcripts).persist()
-    idx = build_index(documents).persist()
+    # positions=True: the serving index carries per-posting token offsets
+    # (Lucene indexes positions by default; phrase queries run off them)
+    idx = build_index(documents, positions=True).persist()
     # materialize everything the way a write would
     idx.postings.count()
     idx.term_stats.count()

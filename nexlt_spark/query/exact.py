@@ -145,15 +145,56 @@ def prohibited_docs(index: InvertedIndex, not_terms: List[str], analyzer: str = 
     return p.select("doc_id").distinct()
 
 
+def phrase_match_docs(index: InvertedIndex, phrase_tokens: List[str]) -> DataFrame:
+    """doc_ids containing the phrase, from the POSITIONS INDEX only.
+
+    The Lucene PhraseQuery plan (the reference UI's default text filter is
+    a quoted phrase fq — web/nexlt/jslib/solrTestLib_v2.js:43,53 — served
+    from Lucene's positions postings): intersect the phrase terms'
+    postings, then verify adjacency by intersecting shifted position sets
+    — pos(t0) ∩ (pos(t1)-1) ∩ … ∩ (pos(tm)-m) non-empty. The plan touches
+    ONLY the phrase terms' posting rows (never documents.text): one
+    groupBy(doc_id) over those rows, then pure JVM array algebra. Repeated
+    phrase tokens reuse the same posting row at each offset.
+    """
+    spark = index.doc_stats.sparkSession
+    uniq = sorted(set(phrase_tokens))
+    dfs = index.term_dfs(uniq)
+    if len(dfs) < len(uniq):  # a phrase term absent from the corpus
+        return spark.createDataFrame([], "doc_id long")
+    p = index.lookup(uniq).select("term", "doc_id", "positions")
+    per_doc = (
+        p.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("term"), F.col("positions")))
+            ).alias("pm")
+        )
+        .where(F.size("pm") == len(uniq))  # token-AND prefilter
+    )
+    def _shift(i: int):
+        # NB: a `lambda x, _i=i:` two-parameter lambda would be read by
+        # pyspark as the (element, index) transform form — closure factory
+        # keeps arity 1 (same pitfall as ops.minhash._seeded)
+        return lambda x: x - i
+
+    alive = F.col("pm")[phrase_tokens[0]]
+    for i, t in enumerate(phrase_tokens[1:], start=1):
+        alive = F.array_intersect(alive, F.transform(F.col("pm")[t], _shift(i)))
+    return per_doc.where(F.size(alive) > 0).select("doc_id")
+
+
 def phrase_candidates(
     documents: DataFrame, phrase_tokens: List[str], analyzer: str = "standard"
 ) -> DataFrame:
-    """doc_ids whose token stream contains the phrase as adjacent tokens.
+    """doc_ids whose token stream contains the phrase as adjacent tokens —
+    FALLBACK for indexes built without positions.
 
-    v1 strategy per SURVEY.md §7.4: token-AND candidates then exact
-    adjacency verification — done with pure column ops on the re-tokenized
-    text: ' '+join(tokens)+' ' contains ' '+join(phrase)+' '. Exact w.r.t.
-    the shared tokenizer; a positions table is the scale upgrade path.
+    Re-tokenizes the (possibly pre-filtered) documents and substring-tests
+    the joined token stream. Exact w.r.t. the shared tokenizer, but a
+    corpus scan per query — prefer phrase_match_docs on a positions index
+    (build_index(positions=True)); this remains only for positions-less
+    indexes.
     """
     from nexlt_spark.analysis import tokenize_udf_col
 
@@ -162,6 +203,27 @@ def phrase_candidates(
     )
     needle = " " + " ".join(phrase_tokens) + " "
     return documents.where(F.instr(joined, needle) > 0).select("doc_id")
+
+
+def phrase_docs(
+    index: InvertedIndex,
+    documents: DataFrame,
+    phrase_tokens: List[str],
+    analyzer: str = "standard",
+    doc_filter: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Dispatch phrase matching: positions index when available (postings
+    only — the scale plan), else the re-tokenize fallback. Returns the
+    doc_id set, intersected with doc_filter when given."""
+    if getattr(index, "has_positions", False):
+        cand = phrase_match_docs(index, phrase_tokens)
+        if doc_filter is not None:
+            cand = cand.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        return cand
+    base = documents if doc_filter is None else documents.join(
+        doc_filter.select("doc_id"), "doc_id", "left_semi"
+    )
+    return phrase_candidates(base, phrase_tokens, analyzer)
 
 
 def paginate(df: DataFrame, sort_cols, start: int, k: int) -> DataFrame:
@@ -197,12 +259,7 @@ def bm25_topk(
     if not q.filters.is_empty() or q.exists:
         doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
     if q.phrase:
-        ph = phrase_candidates(
-            documents if doc_filter is None else documents.join(doc_filter, "doc_id", "left_semi"),
-            tokenize(q.phrase, an),
-            an,
-        )
-        doc_filter = ph
+        doc_filter = phrase_docs(index, documents, tokenize(q.phrase, an), an, doc_filter)
 
     scored = score_postings(index, terms, mode, doc_filter)
     if q.not_terms:
@@ -252,7 +309,9 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
             base = base.join(scored.select("doc_id"), "doc_id", "left_semi")
         if q.phrase:
             base = base.join(
-                phrase_candidates(base, tokenize(q.phrase, an), an), "doc_id", "left_semi"
+                phrase_docs(index, documents, tokenize(q.phrase, an), an, base.select("doc_id")),
+                "doc_id",
+                "left_semi",
             )
         cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in q.sort]
         if not any(c == "text_lc" for c, _ in q.sort):

@@ -47,6 +47,13 @@ def index(documents):
 
 
 @pytest.fixture(scope="session")
+def pos_index(documents):
+    from nexlt_spark.index.build import build_index
+
+    return build_index(documents, positions=True).persist()
+
+
+@pytest.fixture(scope="session")
 def oracle(documents):
     from nexlt_spark.oracle import OracleIndex
 
