@@ -196,6 +196,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_wand_or"] = _bm25_wand
 
+    # -- raw query-string surface (parallel.cgi/corpus.cgi syntax) ---------
+    def _parsed(s, d, raw):
+        from nexlt_spark.query.parser import parse_query
+
+        pq = parse_query(raw)
+        lang = (pq.filters.fields or {}).get("lang")
+        return _bm25(
+            s, d, pq.terms, k=pq.k, mode=pq.mode,
+            lang=lang[0] if lang else None, phrase=pq.phrase, not_terms=pq.not_terms,
+        )
+
+    # raw string in, rank-identical to the structured-query entries out
+    q["parsed_query_and"] = lambda s, d: _parsed(s, d, "text:spark AND text:join")
+    q["parsed_query_not"] = lambda s, d: _parsed(s, d, "spark NOT join")
+    q["parsed_query_filtered"] = lambda s, d: _parsed(s, d, "value AND lang:en")
+    q["parsed_query_phrase"] = lambda s, d: _parsed(s, d, '"table part"')
+
     def _realtime_get(s, d):  # S10 /get point lookup by id
         return _docs(s, d).where(F.col("doc_id") == 42).select("doc_id", "lang", "source", "text")
 
@@ -244,6 +261,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(s, d).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
     q["facet_counts"] = _facet_counts
+
+    def _facet_query(s, d):  # A7 facet.query: arbitrary-predicate counts
+        from nexlt_spark.query.facets import facet_query_counts
+
+        docs = _docs(s, d)
+        return facet_query_counts(
+            docs,
+            {
+                "en_docs": F.col("lang") == "en",
+                "long_docs": F.col("n_chars") >= 400,
+                "spark_docs": F.col("text").contains("spark"),
+            },
+        )
+
+    q["facet_query_counts"] = _facet_query
+
+    def _facet_range(s, d):  # A7 facet.range: bucketed counts w/ empties
+        from nexlt_spark.query.facets import facet_range_counts
+
+        return facet_range_counts(_docs(s, d), "n_chars", 0, 600, 100)
+
+    q["facet_range_counts"] = _facet_range
 
     def _term_stats(s, d):  # A3 df/idf
         idx = _index(s, d)
@@ -474,6 +513,10 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY c DESC, doc_id ASC LIMIT 10"
     )
     o["bm25_synonyms"] = _sql_bm25_2("join", "merge", "or")
+    o["parsed_query_and"] = o["bm25_multi_and"]
+    o["parsed_query_not"] = o["bm25_not"]
+    o["parsed_query_filtered"] = o["bm25_filtered"]
+    o["parsed_query_phrase"] = o["bm25_phrase"]
     o["bm25_wand_or"] = _sql_bm25_2("spark", "join", "or")
     o["realtime_get"] = (
         "SELECT doc_id, lang, source, text FROM documents WHERE doc_id = 42"
@@ -497,6 +540,19 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY lower(text) ASC, doc_id ASC LIMIT 10 OFFSET 20"
     )
     o["facet_counts"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+    o["facet_query_counts"] = (
+        "SELECT 'en_docs' AS facet, count(*) AS n FROM documents WHERE lang = 'en'\n"
+        "UNION ALL SELECT 'long_docs', count(*) FROM documents WHERE n_chars >= 400\n"
+        "UNION ALL SELECT 'spark_docs', count(*) FROM documents WHERE text LIKE '%spark%'"
+    )
+    o["facet_range_counts"] = (
+        "WITH spine AS (SELECT i FROM generate_series(0, 5) t(i)),\n"
+        "c AS (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS i, count(*) AS n\n"
+        "  FROM documents WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 1)\n"
+        "SELECT CAST(spine.i * 100 AS BIGINT) AS bucket_start,\n"
+        "  CAST(coalesce(c.n, 0) AS BIGINT) AS n\n"
+        "FROM spine LEFT JOIN c USING (i)"
+    )
     o["term_stats"] = (
         _PRE
         + "SELECT term, df, round(" + scoring.sql_idf("(SELECT n FROM stats)", "df") + ", 6) AS idf\n"

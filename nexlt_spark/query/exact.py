@@ -56,6 +56,9 @@ def filter_documents(documents: DataFrame, f: QueryFilters, exists: bool = False
         d = d.where(F.col("ts") >= F.to_timestamp(F.lit(f.ts_from)))
     if f.ts_to:
         d = d.where(F.col("ts") < F.to_timestamp(F.lit(f.ts_to)))
+    if f.fields:
+        for col, vals in sorted(f.fields.items()):
+            d = d.where(F.col(col).isin(list(vals)))
     if exists:
         d = d.where(F.col("text").isNotNull() & (F.length("text") > 0))
     return d

@@ -27,9 +27,14 @@ class QueryFilters:
     ts_from: Optional[str] = None  # ISO timestamp, inclusive
     ts_to: Optional[str] = None  # ISO timestamp, exclusive
     conv_ids: Optional[Sequence[str]] = None
+    # generic equality filters: column → disjunctive value list (the
+    # parser routes unknown fq fields here, e.g. lang:en over documents)
+    fields: Optional[dict] = None
 
     def is_empty(self) -> bool:
-        return not (self.roles or self.tools or self.ts_from or self.ts_to or self.conv_ids)
+        return not (
+            self.roles or self.tools or self.ts_from or self.ts_to or self.conv_ids or self.fields
+        )
 
 
 @dataclass

@@ -1,0 +1,111 @@
+"""Raw query-string parser (CGI/parallel.cgi + corpus.cgi syntax) → Query."""
+
+import pytest
+
+from nexlt_spark.query.model import Query
+from nexlt_spark.query.parser import QueryParseError, parse_query
+
+
+def test_bare_terms_default_or():
+    q = parse_query("spark join")
+    assert q.terms == ["spark", "join"] and q.mode == "or" and not q.not_terms
+
+
+def test_field_terms_and_mode():
+    q = parse_query("text:spark AND text:join")
+    assert q.terms == ["spark", "join"] and q.mode == "and"
+
+
+def test_or_mode_explicit():
+    q = parse_query("spark OR join")
+    assert q.terms == ["spark", "join"] and q.mode == "or"
+
+
+def test_not_and_minus():
+    q = parse_query("spark NOT join -merge")
+    assert q.terms == ["spark"]
+    assert q.not_terms == ["join", "merge"]
+
+
+def test_quoted_phrase_default_and_field():
+    assert parse_query('"big table"').phrase == "big table"
+    assert parse_query('text:"big table" spark').phrase == "big table"
+    assert parse_query('text:"big table" spark').terms == ["spark"]
+
+
+def test_filter_fields_route_to_slots():
+    q = parse_query("error role:user tool:bash conv:c1")
+    assert q.filters.roles == ["user"]
+    assert q.filters.tools == ["bash"]
+    assert q.filters.conv_ids == ["c1"]
+    assert q.terms == ["error"]
+
+
+def test_same_field_disjunction():
+    # the ajax-solr product:("A" OR "B") shape, solrTestLib_v2.js:58-72
+    q = parse_query('data role:(user OR assistant)')
+    assert q.filters.roles == ["user", "assistant"]
+
+
+def test_unknown_filter_field_goes_generic():
+    q = parse_query("value AND lang:en")
+    assert q.terms == ["value"] and q.mode == "or"  # AND joins a filter, not a scored clause
+    assert q.filters.fields == {"lang": ["en"]}
+
+
+def test_ts_range_and_open_ends():
+    q = parse_query("table ts:[2026-01-05 TO 2026-03-01]")
+    assert q.filters.ts_from == "2026-01-05" and q.filters.ts_to == "2026-03-01"
+    q2 = parse_query("table ts:[2026-01-05 TO *]")
+    assert q2.filters.ts_from == "2026-01-05" and q2.filters.ts_to is None
+
+
+def test_existence_and_matchall():
+    assert parse_query("text:[* TO *]").exists is True
+    q = parse_query("*:*")
+    assert q.terms == [] and not q.exists and q.filters.is_empty()
+
+
+def test_mixed_and_or_raises():
+    with pytest.raises(QueryParseError, match="mixed"):
+        parse_query("a AND b OR c")
+
+
+def test_max_boolean_clauses_cap():
+    raw = " OR ".join(f"t{i}" for i in range(30))
+    with pytest.raises(QueryParseError, match="boolean clauses"):
+        parse_query(raw, max_clauses=10)
+    assert parse_query(raw, max_clauses=30).mode == "or"
+
+
+def test_syntax_errors():
+    for bad in ["role:", "AND spark", "spark AND", 'role:(user OR', "ts:[2024]"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+def test_parsed_query_runs_end_to_end(pos_index, documents, oracle):
+    """Raw string → Query → engine == the same Query built by hand."""
+    from nexlt_spark.query.exact import bm25_topk
+
+    raw = parse_query('run AND file NOT error role:(user OR assistant)')
+    byhand = Query(
+        terms=["run", "file"], mode="and", not_terms=["error"], k=10,
+        filters=raw.filters,
+    )
+    got = [r["doc_id"] for r in bm25_topk(pos_index, documents, raw).collect()]
+    want = [r["doc_id"] for r in bm25_topk(pos_index, documents, byhand).collect()]
+    assert got == want and got == [d for d, _ in oracle.topk(byhand)]
+
+
+def test_generic_field_filter_applies(spark):
+    from nexlt_spark.index.build import build_index
+    from nexlt_spark.query.exact import run_query
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en"), (1, "alpha beta", "fr"), (2, "alpha", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = build_index(docs)
+    q = parse_query("alpha AND lang:en", count_only=True)
+    assert run_query(idx, docs, q).collect()[0]["num_found"] == 2
