@@ -20,19 +20,74 @@ used by the driver's correctness gate.
 
 import re
 import unicodedata
-from typing import List, Optional
+from typing import Callable, List, NamedTuple, Optional
 
 from nexlt_spark.stemmer import porter_stem
+
+# [^\W_] == word char minus underscore == Unicode letter or digit.
+TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+# CJK ideograph/syllabary ranges (the CJKBigramFilter's script set,
+# schema.xml:501-510 chain: CJKWidthFilter→LowerCase→CJKBigramFilter).
+_CJK = (
+    "ᄀ-ᇿ"  # Hangul Jamo
+    "⺀-⻿㐀-䶿一-鿿豈-﫿"  # Han
+    "぀-ゟ゠-ヿㇰ-ㇿ"  # Hiragana/Katakana
+    "㄰-㆏가-힯"  # Hangul
+)
+# CJK chars tokenize one-per-token (StandardTokenizer IDEOGRAPHIC);
+# everything else stays maximal letter/digit runs.
+CJK_TOKEN_RE = re.compile(rf"[{_CJK}]|[^\W_{_CJK}]+", re.UNICODE)
+_CJK_SINGLE = re.compile(rf"^[{_CJK}]$")
+
+
+def cjk_bigram_stream(toks: List[str]) -> List[str]:
+    """CJKBigramFilter semantics: runs of ≥2 consecutive CJK tokens become
+    overlapping bigrams (no unigrams — outputUnigrams=false default); a
+    lone CJK token passes through, as do non-CJK tokens. Positions are
+    reindexed post-filter (adjacent bigrams are adjacent tokens), which
+    keeps phrase matching self-consistent index-vs-query."""
+    out: List[str] = []
+    run: List[str] = []
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        elif run:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    for t in toks:
+        if _CJK_SINGLE.match(t):
+            run.append(t)
+        else:
+            flush()
+            out.append(t)
+    flush()
+    return out
+
+
+class Chain(NamedTuple):
+    """One analyzer chain: tokenize with ``regex``, then either a 1:1
+    per-token map (vocab-level applicable — the stemmer path) or a
+    stream-level list→list map (token-count-changing filters)."""
+
+    regex: "re.Pattern" = TOKEN_RE
+    token_map: Optional[Callable[[str], str]] = None
+    stream_map: Optional[Callable[[List[str]], List[str]]] = None
+
 
 # Pluggable analyzer chains (SURVEY.md §1.5). "standard" models the
 # reference's text_general (StandardTokenizer+LowerCase, no stopwords —
 # schema.xml:198-213); "en_porter" models text_en_splitting's stemming
-# step (PorterStemFilter at index AND query time, schema.xml:293,303).
-# The value is the per-token post-map applied after tokenization.
-ANALYZERS = {"standard": None, "en_porter": porter_stem}
-
-# [^\W_] == word char minus underscore == Unicode letter or digit.
-TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# step (PorterStemFilter at index AND query time, schema.xml:293,303);
+# "cjk_bigram" models the text_cjk chain (schema.xml:501-510) — NFKC
+# normalize covers the CJKWidthFilter step.
+ANALYZERS = {
+    "standard": Chain(),
+    "en_porter": Chain(token_map=porter_stem),
+    "cjk_bigram": Chain(regex=CJK_TOKEN_RE, stream_map=cjk_bigram_stream),
+}
 
 # The same tokenizer expressed as an ANSI-SQL expression for the DuckDB
 # oracle (valid because the driver's testdata text is ASCII).
@@ -48,10 +103,12 @@ def tokenize(text: Optional[str], analyzer: str = "standard") -> List[str]:
     """Pure-Python tokenizer — the oracle-side ground truth."""
     if text is None:
         return []
-    toks = TOKEN_RE.findall(normalize(text))
-    stem = ANALYZERS[analyzer]
-    if stem is not None:
-        toks = [stem(t) for t in toks]
+    chain = ANALYZERS[analyzer]
+    toks = chain.regex.findall(normalize(text))
+    if chain.token_map is not None:
+        toks = [chain.token_map(t) for t in toks]
+    if chain.stream_map is not None:
+        toks = chain.stream_map(toks)
     return toks
 
 
@@ -61,22 +118,24 @@ def _lazy_spark(analyzer: str):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    stem = ANALYZERS[analyzer]
+    chain_spec = ANALYZERS[analyzer]
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def tokenize_udf(texts: pd.Series) -> pd.Series:
         # Vectorized pandas string ops — identical semantics to tokenize():
-        # str.normalize("NFKC") + str.lower() + str.findall(TOKEN_RE).
+        # str.normalize("NFKC") + str.lower() + str.findall(regex).
         filled = texts.fillna("")
-        found = filled.str.normalize("NFKC").str.lower().str.findall(TOKEN_RE)
-        if stem is None:
-            return found
-        # vocab-level stemming: each distinct token is stemmed ONCE per
-        # Arrow batch (Zipf: vocab << token count), then mapped back
-        from itertools import chain
+        found = filled.str.normalize("NFKC").str.lower().str.findall(chain_spec.regex)
+        if chain_spec.token_map is not None:
+            # vocab-level stemming: each distinct token is stemmed ONCE per
+            # Arrow batch (Zipf: vocab << token count), then mapped back
+            from itertools import chain
 
-        table = {t: stem(t) for t in set(chain.from_iterable(found))}
-        return found.map(lambda ts: [table[t] for t in ts])
+            table = {t: chain_spec.token_map(t) for t in set(chain.from_iterable(found))}
+            found = found.map(lambda ts: [table[t] for t in ts])
+        if chain_spec.stream_map is not None:
+            found = found.map(chain_spec.stream_map)
+        return found
 
     return tokenize_udf
 

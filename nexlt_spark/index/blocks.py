@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nexlt_spark.index.build import IndexStats, InvertedIndex
-from nexlt_spark.index.codec import BLOCK_SIZE, decode_block_rows, encode_blocks
+from nexlt_spark.index.codec import (
+    BLOCK_SIZE,
+    decode_block_rows,
+    decode_positions_rows,
+    encode_blocks,
+    encode_positions_blocks,
+)
 from nexlt_spark.scoring import B as B_PARAM
 from nexlt_spark.scoring import K1, K1_PLUS_1, ONE_MINUS_B
 
@@ -38,13 +44,17 @@ BLOCKS_SCHEMA = (
     "term string, rsalt long, block_id int, n int, first_doc_id long, "
     "last_doc_id long, doc_ids binary, tfs binary, dls binary, max_tfnorm double"
 )
+# positions variant: one extra per-block binary payload (the Lucene .pos
+# file analog — read only by phrase queries, never by scoring)
+BLOCKS_SCHEMA_POS = BLOCKS_SCHEMA + ", pos binary"
 DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
+DECODED_SCHEMA_POS = DECODED_SCHEMA + ", positions array<int>"
 
 DEFAULT_SALT_THRESHOLD = 100_000  # df above which a term is range-salted
 DEFAULT_RANGE_SHIFT = 16  # salted run ≈ 65k docIDs of range
 
 
-def _encode_group(avgdl: float, block_size: int = BLOCK_SIZE):
+def _encode_group(avgdl: float, block_size: int = BLOCK_SIZE, positions: bool = False):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy(np.uint64)
@@ -57,13 +67,19 @@ def _encode_group(avgdl: float, block_size: int = BLOCK_SIZE):
         rows = encode_blocks(ids, tfs, dls, tfn, block_size)
         term = pdf["term"].iloc[0]
         rsalt = int(pdf["rsalt"].iloc[0])
-        return pd.DataFrame(
-            [(term, rsalt) + r for r in rows],
-            columns=[
-                "term", "rsalt", "block_id", "n", "first_doc_id", "last_doc_id",
-                "doc_ids", "tfs", "dls", "max_tfnorm",
-            ],
-        )
+        cols = [
+            "term", "rsalt", "block_id", "n", "first_doc_id", "last_doc_id",
+            "doc_ids", "tfs", "dls", "max_tfnorm",
+        ]
+        out = pd.DataFrame([(term, rsalt) + r for r in rows], columns=cols)
+        if positions:
+            flat = (
+                np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["positions"]])
+                if len(pdf)
+                else np.zeros(0, dtype=np.int64)
+            )
+            out["pos"] = encode_positions_blocks(flat, tfs.astype(np.int64), block_size)
+        return out
 
     return encode
 
@@ -74,7 +90,12 @@ def build_blocks(
     range_shift: int = DEFAULT_RANGE_SHIFT,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
-    """Flat postings → blocked postings DataFrame (one row per block)."""
+    """Flat postings → blocked postings DataFrame (one row per block).
+
+    A positions-bearing flat index (build_index(positions=True)) yields
+    positions-bearing blocks (extra per-block `pos` binary) — phrase
+    queries then run off the blocked store too.
+    """
     hot = [
         r["term"]
         for r in index.term_stats.where(F.col("df") > salt_threshold).select("term").collect()
@@ -87,16 +108,24 @@ def build_blocks(
     else:
         rsalt = F.lit(0)
     p = p.withColumn("rsalt", rsalt.cast("long"))
+    with_pos = index.has_positions
     return p.groupBy("term", "rsalt").applyInPandas(
-        _encode_group(index.stats.avgdl, block_size), schema=BLOCKS_SCHEMA
+        _encode_group(index.stats.avgdl, block_size, with_pos),
+        schema=BLOCKS_SCHEMA_POS if with_pos else BLOCKS_SCHEMA,
     )
 
 
-def decode_terms(blocks: DataFrame, terms: list[str]) -> DataFrame:
-    """Selected terms' blocks → flat (term, doc_id, tf, dl) rows."""
-    sel = blocks.where(F.col("term").isin(list(terms))).select(
-        "term", "n", "doc_ids", "tfs", "dls"
-    )
+def decode_terms(blocks: DataFrame, terms: list[str], positions: bool = False) -> DataFrame:
+    """Selected terms' blocks → flat (term, doc_id, tf, dl[, positions]).
+
+    positions=True requires positions-bearing blocks (pos column) and
+    adds the per-posting offsets array — decoded ONLY when asked for, so
+    the scoring path never pays for the position payload.
+    """
+    if positions and "pos" not in blocks.columns:
+        raise ValueError("blocked index was built without positions")
+    cols = ["term", "n", "doc_ids", "tfs", "dls"] + (["pos"] if positions else [])
+    sel = blocks.where(F.col("term").isin(list(terms))).select(*cols)
 
     def dec(batches):
         for pdf in batches:
@@ -109,17 +138,23 @@ def decode_terms(blocks: DataFrame, terms: list[str]) -> DataFrame:
                 [bytes(x) for x in pdf["dls"]],
                 pdf["n"].to_numpy(),
             )
-            terms = pdf["term"].to_numpy()
-            yield pd.DataFrame(
+            terms_arr = pdf["term"].to_numpy()
+            out = pd.DataFrame(
                 {
-                    "term": terms[block_of],
+                    "term": terms_arr[block_of],
                     "doc_id": ids.astype(np.int64),
                     "tf": tfs.astype(np.int32),
                     "dl": dls.astype(np.int32),
                 }
             )
+            if positions:
+                tfs64 = tfs.astype(np.int64)
+                flat = decode_positions_rows([bytes(x) for x in pdf["pos"]], tfs64)
+                cuts = np.cumsum(tfs64[:-1])
+                out["positions"] = np.split(flat.astype(np.int32), cuts)
+            yield out
 
-    return sel.mapInPandas(dec, schema=DECODED_SCHEMA)
+    return sel.mapInPandas(dec, schema=DECODED_SCHEMA_POS if positions else DECODED_SCHEMA)
 
 
 @dataclass
@@ -146,7 +181,11 @@ class BlockedIndex:
         rows = self.term_stats.where(F.col("term").isin(list(terms))).collect()
         return {r["term"]: r["df"] for r in rows}
 
-    def lookup(self, terms: list[str]) -> DataFrame:
+    @property
+    def has_positions(self) -> bool:
+        return "pos" in self.blocks.columns
+
+    def lookup(self, terms: list[str], positions: bool = False) -> DataFrame:
         b = self.blocks
         if self.n_buckets and "term_bucket" in b.columns:
             # push a partition filter: term_bucket ∈ {bucket(t) for t in terms}
@@ -154,7 +193,7 @@ class BlockedIndex:
             buckets = [r["term_bucket"] for r in tdf.select("term_bucket").distinct().collect()]
             if buckets:
                 b = b.where(F.col("term_bucket").isin(buckets))
-        return decode_terms(b, terms)
+        return decode_terms(b, terms, positions)
 
 
 # --------------------------------------------------------------------------

@@ -74,9 +74,13 @@ class InvertedIndex:
     def has_positions(self) -> bool:
         return "positions" in self.postings.columns
 
-    def lookup(self, terms: list[str]) -> DataFrame:
+    def lookup(self, terms: list[str], positions: bool = False) -> DataFrame:
         """Flat posting rows for the given terms (the exact query path's
-        postings provider; BlockedIndex implements the same protocol)."""
+        postings provider; BlockedIndex implements the same protocol).
+        The flat rows already carry the positions column when built with
+        positions=True, so the flag only validates availability."""
+        if positions and not self.has_positions:
+            raise ValueError("index was built without positions")
         return self.postings.where(F.col("term").isin(list(terms)))
 
 
@@ -117,9 +121,10 @@ def _emit_postings(
     import numpy as np
     import pandas as pd
 
-    from nexlt_spark.analysis import ANALYZERS, TOKEN_RE
+    from nexlt_spark.analysis import ANALYZERS
 
-    stem = ANALYZERS[analyzer]
+    spec = ANALYZERS[analyzer]
+    stem = spec.token_map
 
     def emit(batches):
         for pdf in batches:
@@ -127,8 +132,12 @@ def _emit_postings(
                 continue
             doc_ids = pdf[doc_id_col].to_numpy()
             toks = (
-                pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(TOKEN_RE)
+                pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(spec.regex)
             )
+            if spec.stream_map is not None:
+                # token-count-changing filters (e.g. CJK bigrams) run on
+                # the token stream before flatten; dl counts the output
+                toks = toks.map(spec.stream_map)
             lens = toks.str.len().to_numpy(dtype=np.int64)
             flat_terms = list(chain.from_iterable(toks))
             sent = pd.DataFrame(

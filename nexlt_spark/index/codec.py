@@ -166,6 +166,74 @@ def encode_blocks(
     return rows
 
 
+def encode_positions_blocks(
+    flat_positions: np.ndarray,
+    tfs: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> List[bytes]:
+    """Per-block position payloads for a docID-sorted posting run.
+
+    flat_positions: all postings' ascending in-doc token offsets
+    concatenated in posting order (len == tfs.sum()); tfs gives the
+    per-posting counts. Within each posting the offsets are delta-encoded
+    (first absolute) — in-doc offsets are ascending so deltas are small —
+    and the whole stream is varint-encoded in ONE vectorized pass, then
+    sliced at posting-block boundaries (the Lucene .pos file analog:
+    positions live beside the postings but are only read by phrase
+    queries, never by scoring).
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(tfs)
+    if n == 0:
+        return []
+    pos = np.ascontiguousarray(flat_positions, dtype=np.uint64)
+    total = int(tfs.sum())
+    assert pos.size == total, f"positions/tfs mismatch: {pos.size} != {total}"
+    # delta within each posting: restart (absolute) at each posting start
+    pstarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=pstarts[1:])
+    deltas = np.empty_like(pos)
+    if total:
+        deltas[0] = pos[0]
+        np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+        deltas[pstarts[tfs > 0]] = pos[pstarts[tfs > 0]]
+    buf, off = _varint_encode_with_offsets(deltas)
+    # block b covers postings [b*block_size, min((b+1)*bs, n)) → position
+    # indices [pstarts[s], pstarts[e-1]+tfs[e-1])
+    out = []
+    bstarts = np.arange(0, n, block_size, dtype=np.int64)
+    bends = np.minimum(bstarts + block_size, n)
+    pos_end = pstarts + tfs
+    for s, e in zip(bstarts, bends):
+        out.append(buf[off[pstarts[s]] : off[pos_end[e - 1]]])
+    return out
+
+
+def decode_positions_rows(enc_pos_list, tfs: np.ndarray) -> np.ndarray:
+    """Decode concatenated per-block position payloads back to the flat
+    ascending-offset array (len == tfs.sum()), vectorized: one varint
+    pass + a grouped cumsum with per-posting restarts."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    deltas = varint_decode(b"".join(enc_pos_list), total)
+    g = np.cumsum(deltas, dtype=np.uint64)
+    n = len(tfs)
+    pstarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=pstarts[1:])
+    nz = tfs > 0
+    prev = np.zeros(n, dtype=np.uint64)
+    nzs = pstarts[nz]
+    prev_idx = nzs - 1
+    valid = prev_idx >= 0
+    pr = np.zeros(nzs.size, dtype=np.uint64)
+    pr[valid] = g[prev_idx[valid]]
+    prev[nz] = pr
+    posting_of = np.repeat(np.arange(n, dtype=np.int64), tfs)
+    return (g - prev[posting_of]).astype(np.int64)
+
+
 def decode_block(doc_ids_enc: bytes, tfs_enc: bytes, dls_enc: bytes, n: int):
     """One block row → (doc_ids, tfs, dls) numpy arrays."""
     ids = delta_decode(varint_decode(doc_ids_enc, n))

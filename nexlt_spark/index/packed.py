@@ -58,16 +58,21 @@ from nexlt_spark.scoring import K1, K1_PLUS_1, ONE_MINUS_B
 PACKED_SCHEMA = (
     "term string, rsalt long, n int, sum_dl long, doc_ids binary, tfs binary, dls binary"
 )
+# positions variant: per-run packed int32 token offsets, posting order
+PACKED_SCHEMA_POS = PACKED_SCHEMA + ", pos binary"
 _SENTINEL = ""
 
 
-def _emit_packed(doc_id_col: str, text_col: str, analyzer: str, range_shift: int):
+def _emit_packed(
+    doc_id_col: str, text_col: str, analyzer: str, range_shift: int, positions: bool = False
+):
     """mapInPandas kernel: document batch → packed posting-run rows."""
     from itertools import chain
 
-    from nexlt_spark.analysis import ANALYZERS, TOKEN_RE
+    from nexlt_spark.analysis import ANALYZERS
 
-    stem = ANALYZERS[analyzer]
+    spec = ANALYZERS[analyzer]
+    stem = spec.token_map
 
     def emit(batches):
         for pdf in batches:
@@ -75,8 +80,10 @@ def _emit_packed(doc_id_col: str, text_col: str, analyzer: str, range_shift: int
                 continue
             doc_ids = pdf[doc_id_col].to_numpy(dtype=np.int64)
             toks = (
-                pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(TOKEN_RE)
+                pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(spec.regex)
             )
+            if spec.stream_map is not None:
+                toks = toks.map(spec.stream_map)
             lens = toks.str.len().to_numpy(dtype=np.int64)
             # sentinel: per-doc lengths packed; stats aggregable without unpack
             sent = pd.DataFrame(
@@ -90,6 +97,8 @@ def _emit_packed(doc_id_col: str, text_col: str, analyzer: str, range_shift: int
                     "dls": [lens.astype(np.int32).tobytes()],
                 }
             )
+            if positions:
+                sent["pos"] = [b""]
             flat_terms = list(chain.from_iterable(toks))
             if not flat_terms:
                 yield sent
@@ -102,7 +111,23 @@ def _emit_packed(doc_id_col: str, text_col: str, analyzer: str, range_shift: int
             v = len(uniques)
             doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
             key = doc_idx * v + codes
-            uk, counts = np.unique(key, return_counts=True)
+            if positions:
+                # group token instances by posting with a STABLE sort so
+                # the per-posting position runs come out ascending, then
+                # slice at boundaries — same trick as the flat kernel
+                total = len(key)
+                doc_starts = np.zeros(len(doc_ids), dtype=np.int64)
+                np.cumsum(lens[:-1], out=doc_starts[1:])
+                tok_pos = np.arange(total, dtype=np.int64) - doc_starts[doc_idx]
+                tok_order = np.argsort(key, kind="stable")
+                ks = key[tok_order]
+                kcut = np.flatnonzero(np.diff(ks)) + 1
+                kstarts = np.concatenate(([0], kcut))
+                uk = ks[kstarts]
+                counts = np.diff(np.concatenate((kstarts, [total])))
+                pos_by_posting = tok_pos[tok_order]  # concat per posting, key order
+            else:
+                uk, counts = np.unique(key, return_counts=True)
             ud = (uk // v).astype(np.int64)
             p_doc = doc_ids[ud]
             p_term = (uk % v).astype(np.int64)
@@ -136,23 +161,48 @@ def _emit_packed(doc_id_col: str, text_col: str, analyzer: str, range_shift: int
                 "tfs": [p_tf[s:e].tobytes() for s, e in zip(starts, ends)],
                 "dls": [p_dl[s:e].tobytes() for s, e in zip(starts, ends)],
             }
+            if positions:
+                # reorder the token stream to the fuse (term, rsalt)
+                # posting order via stable argsort of the posting ranks —
+                # intra-posting ascending order is preserved
+                npost = len(uk)
+                rank = np.empty(npost, dtype=np.int64)
+                rank[order] = np.arange(npost, dtype=np.int64)
+                ppost = np.repeat(np.arange(npost, dtype=np.int64), counts)
+                tok_new = np.argsort(rank[ppost], kind="stable")
+                pos_final = pos_by_posting[tok_new].astype(np.int32)
+                tok_bounds = np.zeros(npost + 1, dtype=np.int64)
+                np.cumsum(p_tf.astype(np.int64), out=tok_bounds[1:])
+                rows["pos"] = [
+                    pos_final[tok_bounds[s] : tok_bounds[e]].tobytes()
+                    for s, e in zip(starts, ends)
+                ]
             yield pd.concat([sent, pd.DataFrame(rows)], ignore_index=True)
 
     return emit
 
 
-def _encode_packed(avgdl: float, block_size: int = BLOCK_SIZE):
+def _encode_packed(avgdl: float, block_size: int = BLOCK_SIZE, positions: bool = False):
     """applyInPandas kernel: (term, rsalt) group of packed runs → block rows.
 
     The groupBy-term applyInPandas merge of partial posting runs
     (north_star wording), on arrays instead of rows.
     """
+    from nexlt_spark.index.codec import encode_positions_blocks
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.frombuffer(b"".join(pdf["doc_ids"]), dtype=np.int64)
         tfs = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.int32)
         dls = np.frombuffer(b"".join(pdf["dls"]), dtype=np.int32)
         order = np.argsort(ids, kind="stable")  # merge runs: docID order
+        if positions:
+            pos_flat = np.frombuffer(b"".join(pdf["pos"]), dtype=np.int32)
+            npost = len(ids)
+            rank = np.empty(npost, dtype=np.int64)
+            rank[order] = np.arange(npost, dtype=np.int64)
+            ppost = np.repeat(np.arange(npost, dtype=np.int64), tfs.astype(np.int64))
+            tok_new = np.argsort(rank[ppost], kind="stable")
+            pos_sorted = pos_flat[tok_new].astype(np.int64)
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         tfd = tfs.astype(np.float64)
         dld = dls.astype(np.float64)
@@ -162,13 +212,16 @@ def _encode_packed(avgdl: float, block_size: int = BLOCK_SIZE):
         )
         term = pdf["term"].iloc[0]
         rsalt = int(pdf["rsalt"].iloc[0])
-        return pd.DataFrame(
+        out = pd.DataFrame(
             [(term, rsalt) + r for r in rows],
             columns=[
                 "term", "rsalt", "block_id", "n", "first_doc_id", "last_doc_id",
                 "doc_ids", "tfs", "dls", "max_tfnorm",
             ],
         )
+        if positions:
+            out["pos"] = encode_positions_blocks(pos_sorted, tfs.astype(np.int64), block_size)
+        return out
 
     return encode
 
@@ -195,15 +248,19 @@ def build_blocked_direct(
     range_shift: int = DEFAULT_RANGE_SHIFT,
     block_size: int = BLOCK_SIZE,
     persist_packed: bool = True,
+    positions: bool = False,
 ) -> BlockedIndex:
     """documents → BlockedIndex in one packed pipeline (the scale path).
 
     Protocol-compatible with the flat-path BlockedIndex: same blocks
     schema, doc_stats, term_stats, stats — the query layer cannot tell
-    the difference (asserted in tests/test_packed.py).
+    the difference (asserted in tests/test_packed.py). positions=True
+    threads per-posting token offsets through the packed runs into the
+    per-block position payloads (phrase queries off the packed store).
     """
     packed = documents.select(doc_id_col, text_col).mapInPandas(
-        _emit_packed(doc_id_col, text_col, analyzer, range_shift), schema=PACKED_SCHEMA
+        _emit_packed(doc_id_col, text_col, analyzer, range_shift, positions),
+        schema=PACKED_SCHEMA_POS if positions else PACKED_SCHEMA,
     )
     if persist_packed:
         packed = packed.persist()
@@ -219,8 +276,11 @@ def build_blocked_direct(
     term_stats = posts.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
     doc_stats = _unpack_doc_stats(sent)
 
+    from nexlt_spark.index.blocks import BLOCKS_SCHEMA_POS
+
     blocks = posts.groupBy("term", "rsalt").applyInPandas(
-        _encode_packed(stats.avgdl, block_size), schema=BLOCKS_SCHEMA
+        _encode_packed(stats.avgdl, block_size, positions),
+        schema=BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA,
     )
     return BlockedIndex(
         blocks=blocks,

@@ -165,7 +165,7 @@ def phrase_match_docs(index: InvertedIndex, phrase_tokens: List[str]) -> DataFra
     dfs = index.term_dfs(uniq)
     if len(dfs) < len(uniq):  # a phrase term absent from the corpus
         return spark.createDataFrame([], "doc_id long")
-    p = index.lookup(uniq).select("term", "doc_id", "positions")
+    p = index.lookup(uniq, positions=True).select("term", "doc_id", "positions")
     per_doc = (
         p.groupBy("doc_id")
         .agg(

@@ -58,22 +58,24 @@ PROBE_BLOCKS_PER_TERM = 16
 
 def _decode_filtered(
     blocks: DataFrame,
-    keep_doc_ids: Optional[np.ndarray] = None,
+    keep_doc_ids=None,
     slice_shift: int = DEFAULT_SLICE_SHIFT,
 ) -> DataFrame:
     """Decode block rows → (term, doc_id, tf, dl); optionally restricted.
 
-    keep_doc_ids: sorted int64 array. Blocks whose [first,last] docID
-    range intersects no candidate slice are SKIPPED (never decoded) —
-    this is the skip-list jump, vectorized over the Arrow batch; decoded
-    rows are then masked to exact candidate membership (np.isin on a
-    sorted array).
+    keep_doc_ids: a Spark Broadcast of a sorted int64 array (broadcast
+    ONCE per query, not serialized into every task closure). Blocks whose
+    [first,last] docID range intersects no candidate slice are SKIPPED
+    (never decoded) — this is the skip-list jump, vectorized over the
+    Arrow batch; decoded rows are then masked to exact candidate
+    membership (np.isin on a sorted array).
     """
     sel = blocks.select("term", "n", "first_doc_id", "last_doc_id", "doc_ids", "tfs", "dls")
-    if keep_doc_ids is not None:
-        slices = np.unique(keep_doc_ids >> np.int64(slice_shift))
 
     def dec(batches):
+        if keep_doc_ids is not None:
+            keep = keep_doc_ids.value
+            slices = np.unique(keep >> np.int64(slice_shift))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -95,7 +97,7 @@ def _decode_filtered(
             ids = ids.astype(np.int64)
             terms = pdf["term"].to_numpy()[block_of]
             if keep_doc_ids is not None:
-                m = np.isin(ids, keep_doc_ids, assume_unique=False)
+                m = np.isin(ids, keep, assume_unique=False)
                 if not m.any():
                     continue
                 ids, tfs, dls, terms = ids[m], tfs[m], dls[m], terms[m]
@@ -111,14 +113,44 @@ def _decode_filtered(
     return sel.mapInPandas(dec, schema=DECODED_SCHEMA)
 
 
-def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: dict) -> DataFrame:
+def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: Optional[dict] = None) -> DataFrame:
     """Block rows for the query terms, bucket-pruned, with ub column."""
     b = bidx.blocks
     if bidx.n_buckets and "term_bucket" in b.columns:
         buckets = sorted({_bucket(t, bidx.n_buckets) for t in present})
         b = b.where(F.col("term_bucket").isin(buckets))
     b = b.where(F.col("term").isin(present))
-    return b.withColumn("ub", idf_map_col(idfs) * F.col("max_tfnorm"))
+    if idfs is not None:
+        b = b.withColumn("ub", idf_map_col(idfs) * F.col("max_tfnorm"))
+    return b
+
+
+def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
+    """(df, max_tfnorm) per present query term — ONE metadata-only job
+    for cache misses, memoized on the index object.
+
+    Replaces two separate driver jobs (term_stats collect + per-term
+    groupBy(max(ub)) collect): both df (Σ block n) and the per-term
+    global max tfnorm come from the same block-metadata aggregate, and
+    repeated queries against the same index skip the job entirely (the
+    Lucene TermStates/collection-statistics cache analog).
+    """
+    cache = getattr(bidx, "_term_meta_cache", None)
+    if cache is None:
+        cache = {}
+        bidx._term_meta_cache = cache
+    missing = [t for t in qterms if t not in cache]
+    if missing:
+        rows = (
+            _query_blocks(bidx, missing)
+            .groupBy("term")
+            .agg(F.sum("n").cast("long").alias("df"), F.max("max_tfnorm").alias("mtf"))
+            .collect()
+        )
+        found = {r["term"]: (int(r["df"]), float(r["mtf"])) for r in rows}
+        for t in missing:
+            cache[t] = found.get(t)  # None = absent from the index
+    return {t: cache[t] for t in qterms if cache.get(t) is not None}
 
 
 def _bucket(term: str, n_buckets: int) -> int:
@@ -204,12 +236,13 @@ def wand_topk(
     """
     spark = bidx.doc_stats.sparkSession
     qterms = sorted(set(terms))
-    dfs = bidx.term_dfs(qterms)
-    present = [t for t in qterms if t in dfs]
+    meta = _term_meta(bidx, qterms)  # one cached metadata job: df + gm
+    present = [t for t in qterms if t in meta]
     if not present or (mode == "and" and len(present) < len(qterms)):
         return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
 
     n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
+    dfs = {t: meta[t][0] for t in present}
     idfs = {t: idf(n, dfs[t]) for t in present}
     blocks_q = _query_blocks(bidx, present, idfs)
     n_required = len(present) if mode == "and" else None
@@ -236,17 +269,16 @@ def wand_topk(
         cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
-        rows = _decode_filtered(blocks_q, cand_ids, slice_shift)
+        bc = spark.sparkContext.broadcast(cand_ids)
+        rows = _decode_filtered(blocks_q, bc, slice_shift)
         scored = fold_scores(rows, idfs, avgdl, n_required)
         if stats_out is not None:
             stats_out.update(fallback=False, n_candidates=int(cand_ids.size), theta=None)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     # ---- OR mode: θ probe → block pruning → candidates → rescore ----
-    gm = {
-        r["term"]: r["gm"]
-        for r in blocks_q.groupBy("term").agg(F.max("ub").alias("gm")).collect()
-    }
+    # gm comes free from the cached term metadata (no extra Spark job)
+    gm = {t: idfs[t] * meta[t][1] for t in present}
     sum_gm = sum(gm.values())
 
     probe_blocks = blocks_q.orderBy(F.col("ub").desc()).limit(PROBE_BLOCKS_PER_TERM * len(present))
@@ -284,6 +316,7 @@ def wand_topk(
             blocks_kept=kept.count(),
         )
 
-    rows = _decode_filtered(blocks_q, cand_ids, slice_shift)
+    bc = spark.sparkContext.broadcast(cand_ids)
+    rows = _decode_filtered(blocks_q, bc, slice_shift)
     scored = fold_scores(rows, idfs, avgdl, None)
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -207,3 +207,71 @@ def test_positional_to_records(spark):
     assert got[1] == ("s1", "hello", "hallo", "translated")
     assert got[2] == ("s2", "bye", "tschuess", None)
     assert out.columns == ["rec", "id", "src", "trn", "state"]
+
+
+# ---------------------------------------------------------------------------
+# CJK bigram chain (schema.xml:501-510 text_cjk analog)
+# ---------------------------------------------------------------------------
+
+
+def test_cjk_bigram_tokenize_semantics():
+    assert tokenize("日本語", "cjk_bigram") == ["日本", "本語"]
+    assert tokenize("日", "cjk_bigram") == ["日"]  # lone CJK char passes through
+    assert tokenize("spark 日本 engine", "cjk_bigram") == ["spark", "日本", "engine"]
+    # mixed script inside one string: runs bigram independently
+    assert tokenize("日本spark語言", "cjk_bigram") == ["日本", "spark", "語言"]
+    # hangul + katakana ranges participate
+    assert tokenize("한국어", "cjk_bigram") == ["한국", "국어"]
+    assert tokenize("カタカナ", "cjk_bigram") == ["カタ", "タカ", "カナ"]
+    # width/compat forms normalize first (NFKC = the CJKWidthFilter step)
+    assert tokenize("ｶﾀｶﾅ", "cjk_bigram") == tokenize("カタカナ", "cjk_bigram")
+    # standard chain on the same input: each CJK char in one big run
+    assert tokenize("日本語") == ["日本語"]
+
+
+def test_cjk_udf_matches_pure_tokenizer(spark):
+    from nexlt_spark.analysis import tokenize_udf_col
+
+    texts = [
+        "日本語のテスト data", "spark 引擎 测试 query", "한국어 검색 엔진",
+        "no cjk at all", "語", "ﾊﾝｶｸ ｶﾀｶﾅ and ascii", "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", tokenize_udf_col(F.col("text"), "cjk_bigram").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize(t, "cjk_bigram"), t
+
+
+@pytest.fixture(scope="module")
+def cjk_docs(spark):
+    rows = [
+        (0, "日本語の検索エンジン"),
+        (1, "検索 engine with 日本語 support"),
+        (2, "中文搜索引擎测试"),
+        (3, "plain english document about search"),
+        (4, "한국어 검색"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_cjk_rank_identity_and_phrase(cjk_docs):
+    idx = build_index(cjk_docs, analyzer="cjk_bigram", positions=True).persist()
+    oracle = OracleIndex([r.asDict() for r in cjk_docs.collect()], analyzer="cjk_bigram")
+    for q in [
+        Query(terms=["日本語"], k=10),   # analyzed to bigrams 日本+本語
+        Query(terms=["検索"], k=10),
+        Query(phrase="日本語", k=10),    # adjacency of 日本,本語 via positions
+        Query(terms=["english"], k=10),
+    ]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(idx, cjk_docs, q).select("doc_id", "score").collect()
+        ]
+        want = oracle.topk(q)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+    # the phrase reaches exactly the docs containing 日本語 contiguously
+    ph = {d for d, _ in oracle.topk(Query(phrase="日本語", k=10))}
+    assert ph == {0, 1}

@@ -123,3 +123,58 @@ def test_phrase_plan_touches_no_documents_python(pos_index, documents, tmp_path)
         assert marker not in plan, f"phrase plan contains {marker}"
     # and the result is still correct
     assert _ids(out) == _ids(phrase_candidates(documents, ["the", "run"]))
+
+
+# ---------------------------------------------------------------------------
+# positions through the BLOCKED and PACKED stores (the scale-serving paths)
+# ---------------------------------------------------------------------------
+
+
+def _pos_map(df):
+    return {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in df.collect()
+    }
+
+
+def test_blocked_positions_roundtrip_and_phrase(pos_index, documents):
+    from nexlt_spark.index.blocks import BlockedIndex, build_blocks, decode_terms
+
+    blocks = build_blocks(pos_index, salt_threshold=50, range_shift=4, block_size=8)
+    assert "pos" in blocks.columns
+    bidx = BlockedIndex(
+        blocks=blocks.persist(),
+        doc_stats=pos_index.doc_stats,
+        term_stats=pos_index.term_stats,
+        stats=pos_index.stats,
+    )
+    assert bidx.has_positions
+    terms = ["the", "run", "file"]
+    got = _pos_map(decode_terms(blocks, terms, positions=True))
+    want = _pos_map(pos_index.postings.where(F.col("term").isin(terms)))
+    assert got == want  # multi-block, range-salted lists decode identically
+    # phrase through the blocked index == through the flat index
+    for ph in ["the run", "run the", "the the"]:
+        toks = tokenize(ph)
+        assert _ids(phrase_match_docs(bidx, toks)) == _ids(
+            phrase_match_docs(pos_index, toks)
+        ), ph
+    # the scoring decode path must NOT carry the position payload
+    assert "positions" not in bidx.lookup(terms).columns
+    assert "positions" in bidx.lookup(terms, positions=True).columns
+
+
+def test_packed_positions_equal_flat(documents, pos_index):
+    from nexlt_spark.index.packed import build_blocked_direct
+
+    bidx = build_blocked_direct(documents, range_shift=6, block_size=8, positions=True)
+    assert bidx.has_positions
+    terms = ["the", "run", "data"]
+    got = _pos_map(bidx.lookup(terms, positions=True).select("term", "doc_id", "positions"))
+    want = _pos_map(pos_index.postings.where(F.col("term").isin(terms)))
+    assert got == want
+    for ph in ["the run", "index search term"]:
+        toks = tokenize(ph)
+        assert _ids(phrase_match_docs(bidx, toks)) == _ids(
+            phrase_match_docs(pos_index, toks)
+        ), ph

@@ -52,7 +52,8 @@ def main() -> None:
     idx = build_index(docs).persist()
     idx.doc_stats.count()
 
-    sections: list[tuple[str, str, list[str]]] = []
+    # sections: (title, plan text, must_contain, must_not_contain)
+    sections: list[tuple[str, str, list[str], list[str]]] = []
 
     # 1. pushdown + pruning: metadata filter over the source table
     q1 = docs.where((F.col("lang") == "en") & (F.col("doc_id") < 100)).select(
@@ -63,6 +64,7 @@ def main() -> None:
             "Source filter + projection (S1/P1/P2)",
             plan_text(q1),
             ["PushedFilters", "ReadSchema"],
+            [],
         )
     )
 
@@ -75,6 +77,7 @@ def main() -> None:
             # "codegen id" marks operators fused into WholeStageCodegen
             # spans (formatted explain under AQE prints ids, not the span)
             ["TakeOrderedAndProject", "codegen id", "BroadcastHashJoin"],
+            [],
         )
     )
 
@@ -84,7 +87,72 @@ def main() -> None:
     )
     del q3  # same shape as q2; keep doc of the sort/count path instead
     q4 = run_query(idx, docs, Query(terms=["query"], sort=[("text_lc", "asc")], k=20))
-    sections.append(("Sorted query path (O2/O5)", plan_text(q4), ["TakeOrderedAndProject"]))
+    sections.append(
+        ("Sorted query path (O2/O5)", plan_text(q4), ["TakeOrderedAndProject"], [])
+    )
+
+    # 4. phrase from the positions index: postings-only — the plan of a
+    # store-loaded index must contain NO Python eval stage (the documents
+    # re-tokenizer would show up as ArrowEvalPython/MapInPandas)
+    import tempfile
+
+    from nexlt_spark.index.build import InvertedIndex
+    from nexlt_spark.query.exact import phrase_docs
+
+    pos_idx = build_index(docs, positions=True)
+    store = tempfile.mkdtemp(prefix="nexlt-plans-")
+    pos_idx.postings.write.mode("overwrite").parquet(f"{store}/postings")
+    pos_idx.doc_stats.write.mode("overwrite").parquet(f"{store}/doc_stats")
+    pos_idx.term_stats.write.mode("overwrite").parquet(f"{store}/term_stats")
+    loaded = InvertedIndex(
+        postings=spark.read.parquet(f"{store}/postings"),
+        doc_stats=spark.read.parquet(f"{store}/doc_stats"),
+        term_stats=spark.read.parquet(f"{store}/term_stats"),
+        stats=pos_idx.stats,
+    )
+    q5 = phrase_docs(loaded, docs, ["table", "part"])
+    sections.append(
+        (
+            "Phrase query from the positions index (Q2)",
+            plan_text(q5),
+            ["PushedFilters"],
+            ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
+    # 5. embedding near-dup: exact projection-bucketed join — no cartesian
+    from nexlt_spark.ops.similarity import projection_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q6 = projection_near_dup_pairs(emb, dim=64, threshold=0.9)
+    sections.append(
+        (
+            "Embedding near-dup: exact projection-bucketed self-join",
+            plan_text(q6),
+            ["Join"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
+    # 6. facet.query: every predicate in ONE aggregate over one scan
+    from nexlt_spark.query.facets import facet_query_counts
+
+    q7 = facet_query_counts(
+        docs,
+        {
+            "en": F.col("lang") == "en",
+            "long": F.col("n_chars") >= 400,
+            "has_spark": F.col("text").contains("spark"),
+        },
+    )
+    sections.append(
+        (
+            "facet.query: k predicates, one scan, one aggregate",
+            plan_text(q7),
+            ["HashAggregate"],
+            ["Union", "Join"],
+        )
+    )
 
     failures: list[str] = []
     out_lines = [
@@ -95,13 +163,18 @@ def main() -> None:
         "fails loudly if a property disappears.",
         "",
     ]
-    for title, text, must_contain in sections:
+    for title, text, must_contain, must_not in sections:
         out_lines += [f"## {title}", ""]
         missing = [m for m in must_contain if m not in text]
+        present_bad = [m for m in must_not if m in text]
         if missing:
             failures.append(f"{title}: missing {missing}")
+        if present_bad:
+            failures.append(f"{title}: must-not-contain violated {present_bad}")
+        asserted = [f"`{m}`" + (" ✗" if m in missing else " ✓") for m in must_contain]
+        asserted += [f"no `{m}`" + (" ✗" if m in present_bad else " ✓") for m in must_not]
         out_lines += [
-            "Asserted: " + ", ".join(f"`{m}`" + (" ✗" if m in missing else " ✓") for m in must_contain),
+            "Asserted: " + ", ".join(asserted),
             "",
             "```",
             text.strip(),
