@@ -84,10 +84,22 @@ def _bm25(spark, sf_dir, terms, k=10, mode="or", lang=None, phrase=None, not_ter
         doc_filter = docs.where(F.col("lang") == lang).select("doc_id")
     if phrase is not None:
         from nexlt_spark.analysis import tokenize
-        from nexlt_spark.query.exact import phrase_docs
+        from nexlt_spark.query.exact import phrase_docs, phrase_score_postings
 
-        doc_filter = phrase_docs(idx, docs, tokenize(phrase), doc_filter=doc_filter)
-        terms = sorted(set(terms) | set(tokenize(phrase)))
+        ptoks = tokenize(phrase)
+        if set(terms) <= set(ptoks) and idx.has_positions:
+            # fused one-pass plan: adjacency + scoring in a single groupBy
+            scored = phrase_score_postings(idx, ptoks, doc_filter)
+            if not_terms:
+                from nexlt_spark.query.exact import prohibited_docs
+
+                excl = prohibited_docs(idx, not_terms)
+                if excl is not None:
+                    scored = scored.join(excl, "doc_id", "left_anti")
+            top = paginate(scored, [F.col("score").desc(), F.col("doc_id").asc()], 0, k)
+            return top.select("doc_id", F.round("score", 6).alias("score"))
+        doc_filter = phrase_docs(idx, docs, ptoks, doc_filter=doc_filter)
+        terms = sorted(set(terms) | set(ptoks))
         mode = "and"
     scored = score_postings(idx, terms, mode, doc_filter)
     if not_terms:

@@ -187,6 +187,55 @@ def phrase_match_docs(index: InvertedIndex, phrase_tokens: List[str]) -> DataFra
     return per_doc.where(F.size(alive) > 0).select("doc_id")
 
 
+def phrase_score_postings(
+    index: InvertedIndex,
+    phrase_tokens: List[str],
+    doc_filter: Optional[DataFrame] = None,
+) -> DataFrame:
+    """FUSED phrase plan: adjacency verify + BM25 scoring in ONE
+    groupBy(doc_id) over the phrase terms' postings.
+
+    Applicable when the scored terms are exactly the phrase's tokens (the
+    common quoted-query shape). One aggregation collects both the
+    term-sorted contribution structs (the deterministic fold input —
+    float-identical to fold_scores) and the term→positions map; adjacency
+    and arity filter the aggregated rows. Halves the shuffle of the
+    two-pass plan (phrase_match_docs + score_postings re-grouping the
+    same posting rows).
+    """
+    spark = index.doc_stats.sparkSession
+    uniq = sorted(set(phrase_tokens))
+    dfs = index.term_dfs(uniq)
+    if len(dfs) < len(uniq):
+        return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+    n, avgdl = index.stats.n_docs, index.stats.avgdl
+    idfs = {t: idf(n, dfs[t]) for t in uniq}
+
+    p = index.lookup(uniq, positions=True)
+    if doc_filter is not None:
+        p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    contrib = contribution_col(idf_map_col(idfs), F.col("tf"), F.col("dl"), avgdl)
+    g = p.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("term"), contrib.alias("c")))).alias("cs"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        ).alias("pm"),
+    )
+    g = g.where(F.size("cs") == len(uniq))  # token-AND arity
+
+    def _shift(i: int):
+        return lambda x: x - i
+
+    alive = F.col("pm")[phrase_tokens[0]]
+    for i, t in enumerate(phrase_tokens[1:], start=1):
+        alive = F.array_intersect(alive, F.transform(F.col("pm")[t], _shift(i)))
+    g = g.where(F.size(alive) > 0)
+    return g.select(
+        "doc_id",
+        F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
+    )
+
+
 def phrase_candidates(
     documents: DataFrame, phrase_tokens: List[str], analyzer: str = "standard"
 ) -> DataFrame:
@@ -261,10 +310,17 @@ def bm25_topk(
     doc_filter = None
     if not q.filters.is_empty() or q.exists:
         doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
-    if q.phrase:
-        doc_filter = phrase_docs(index, documents, tokenize(q.phrase, an), an, doc_filter)
-
-    scored = score_postings(index, terms, mode, doc_filter)
+    if (
+        q.phrase
+        and getattr(index, "has_positions", False)
+        and set(terms) <= set(tokenize(q.phrase, an))
+    ):
+        # fused one-pass phrase plan (scored terms are the phrase tokens)
+        scored = phrase_score_postings(index, tokenize(q.phrase, an), doc_filter)
+    else:
+        if q.phrase:
+            doc_filter = phrase_docs(index, documents, tokenize(q.phrase, an), an, doc_filter)
+        scored = score_postings(index, terms, mode, doc_filter)
     if q.not_terms:
         excl = prohibited_docs(index, q.not_terms, an)
         if excl is not None:
