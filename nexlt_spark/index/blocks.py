@@ -163,6 +163,12 @@ class BlockedIndex:
 
     Implements the same protocol the exact query path uses on
     InvertedIndex: stats, term_dfs(terms), lookup(terms).
+
+    ranged=True marks a store where EVERY term's postings are
+    range-partitioned by rsalt = doc_id >> range_shift (the packed
+    builder) — the precondition for the per-range fused scorer
+    (query.ranged). Flat-path stores salt only Zipf-head terms, so
+    they stay ranged=False and use the generic plan.
     """
 
     blocks: DataFrame
@@ -171,15 +177,52 @@ class BlockedIndex:
     stats: IndexStats
     n_buckets: int | None = None
     analyzer: str = "standard"
+    ranged: bool = False
+
+    def __post_init__(self) -> None:
+        # driver-side term-dictionary cache: term → (df, term_bucket).
+        # A Lucene/Solr searcher resolves term stats from an in-process
+        # dictionary, not a cluster job — memoizing collapses the two
+        # tiny per-query metadata jobs (df lookup + bucket discovery)
+        # into one, amortized across repeated terms.
+        self._term_cache: dict[str, tuple[int, int | None]] = {}
 
     def persist(self) -> "BlockedIndex":
         self.blocks.persist()
         self.term_stats.persist()
         return self
 
+    def _resolve_terms(self, terms: list[str]) -> None:
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if not missing:
+            return
+        cols = ["term", "df"] + (
+            ["term_bucket"] if "term_bucket" in self.term_stats.columns else []
+        )
+        rows = self.term_stats.where(F.col("term").isin(missing)).select(*cols).collect()
+        for r in rows:
+            self._term_cache[r["term"]] = (
+                r["df"],
+                r["term_bucket"] if "term_bucket" in cols else None,
+            )
+        for t in missing:  # negative-cache absent terms
+            self._term_cache.setdefault(t, (0, None))
+
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        rows = self.term_stats.where(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: r["df"] for r in rows}
+        self._resolve_terms(terms)
+        return {
+            t: self._term_cache[t][0] for t in set(terms) if self._term_cache[t][0] > 0
+        }
+
+    def term_buckets(self, terms: list[str]) -> list[int]:
+        self._resolve_terms(terms)
+        return sorted(
+            {
+                self._term_cache[t][1]
+                for t in set(terms)
+                if self._term_cache[t][1] is not None
+            }
+        )
 
     @property
     def has_positions(self) -> bool:
@@ -189,8 +232,7 @@ class BlockedIndex:
         b = self.blocks
         if self.n_buckets and "term_bucket" in b.columns:
             # push a partition filter: term_bucket ∈ {bucket(t) for t in terms}
-            tdf = self.term_stats.where(F.col("term").isin(list(terms)))
-            buckets = [r["term_bucket"] for r in tdf.select("term_bucket").distinct().collect()]
+            buckets = self.term_buckets(terms)
             if buckets:
                 b = b.where(F.col("term_bucket").isin(buckets))
         return decode_terms(b, terms, positions)
@@ -212,7 +254,12 @@ def save_blocked_index(
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
     (
         blocks.withColumn("term_bucket", bucket)
-        .repartition("term_bucket")
+        # spread each bucket over multiple files (keyed by doc-range and
+        # first docID) so one term's blocks split across scan tasks
+        .repartition(
+            F.col("term_bucket"),
+            F.pmod(F.col("rsalt") + F.shiftright(F.col("first_doc_id"), 16), F.lit(8)),
+        )
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings_blocks")
@@ -225,8 +272,8 @@ def save_blocked_index(
     index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     spark = index.postings.sparkSession
     spark.createDataFrame(
-        [(index.stats.n_docs, index.stats.total_tokens, n_buckets, index.analyzer)],
-        "n_docs long, total_tokens long, n_buckets int, analyzer string",
+        [(index.stats.n_docs, index.stats.total_tokens, n_buckets, index.analyzer, False)],
+        "n_docs long, total_tokens long, n_buckets int, analyzer string, ranged boolean",
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -239,4 +286,5 @@ def load_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
         stats=IndexStats(n_docs=st["n_docs"], total_tokens=st["total_tokens"]),
         n_buckets=st["n_buckets"],
         analyzer=st["analyzer"] if "analyzer" in st.__fields__ else "standard",
+        ranged=bool(st["ranged"]) if "ranged" in st.__fields__ else False,
     )

@@ -288,6 +288,7 @@ def build_blocked_direct(
         term_stats=term_stats,
         stats=stats,
         analyzer=analyzer,
+        ranged=True,  # every term range-partitioned ⇒ per-range fused scoring OK
     )
 
 
@@ -297,7 +298,10 @@ def save_blocked(bidx: BlockedIndex, path: str, n_buckets: int = 32) -> None:
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
     (
         bidx.blocks.withColumn("term_bucket", bucket)
-        .repartition("term_bucket")
+        # second partitioning key: spread each bucket's rows over up to 8
+        # files keyed by doc-range, so a single term's blocks never
+        # serialize into one scan split (parallel decode at query time)
+        .repartition(F.col("term_bucket"), F.pmod(F.col("rsalt"), F.lit(8)))
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings_blocks")
@@ -310,6 +314,6 @@ def save_blocked(bidx: BlockedIndex, path: str, n_buckets: int = 32) -> None:
     bidx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     spark = bidx.blocks.sparkSession
     spark.createDataFrame(
-        [(bidx.stats.n_docs, bidx.stats.total_tokens, n_buckets, bidx.analyzer)],
-        "n_docs long, total_tokens long, n_buckets int, analyzer string",
+        [(bidx.stats.n_docs, bidx.stats.total_tokens, n_buckets, bidx.analyzer, bidx.ranged)],
+        "n_docs long, total_tokens long, n_buckets int, analyzer string, ranged boolean",
     ).write.mode("overwrite").parquet(f"{path}/stats")

@@ -104,13 +104,31 @@ def score_postings(
     terms: List[str],
     mode: str = "or",
     doc_filter: Optional[DataFrame] = None,
+    per_range_limit: Optional[int] = None,
 ) -> DataFrame:
     """(doc_id, score) for a term query. Deterministic float fold.
 
     doc_filter: optional DataFrame with a doc_id column; candidates are
     restricted via left-semi join (non-scoring fq semantics — filters
     never change scores, matching Solr).
+
+    per_range_limit: on a ranged store, truncate each doc-range to its
+    top-(limit) rows inside the kernel (global-order-preserving); pass
+    start+k only when no post-hoc row removal (NOT terms) follows.
     """
+    if getattr(index, "ranged", False):
+        # per-range fused plan (query.ranged): decode+score+arity in one
+        # numpy kernel per disjoint doc range — no postings-row shuffle.
+        # Scores are bit-identical to the fold below (non-scoring fq ⇒
+        # the filter semi-join commutes with scoring).
+        from nexlt_spark.query.ranged import score_ranged
+
+        scored = score_ranged(
+            index, terms, mode, per_range_limit if doc_filter is None else None
+        )
+        if doc_filter is not None:
+            scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        return scored
     spark = index.doc_stats.sparkSession
     qterms = sorted(set(terms))
     dfs = index.term_dfs(qterms)
@@ -310,17 +328,32 @@ def bm25_topk(
     doc_filter = None
     if not q.filters.is_empty() or q.exists:
         doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
+    # per-range kernels may truncate each range to its top-(start+k) rows
+    # (global-order-preserving) when no NOT-clause removes rows afterwards
+    prl = (q.start + q.k) if not q.not_terms else None
     if (
         q.phrase
         and getattr(index, "has_positions", False)
         and set(terms) <= set(tokenize(q.phrase, an))
     ):
-        # fused one-pass phrase plan (scored terms are the phrase tokens)
-        scored = phrase_score_postings(index, tokenize(q.phrase, an), doc_filter)
+        ptoks = tokenize(q.phrase, an)
+        if getattr(index, "ranged", False):
+            # fused per-range phrase plan: adjacency + scoring inside the
+            # range kernel (positions never leave it)
+            from nexlt_spark.query.ranged import phrase_score_ranged
+
+            scored = phrase_score_ranged(
+                index, ptoks, prl if doc_filter is None else None
+            )
+            if doc_filter is not None:
+                scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        else:
+            # fused one-pass phrase plan (scored terms are the phrase tokens)
+            scored = phrase_score_postings(index, ptoks, doc_filter)
     else:
         if q.phrase:
             doc_filter = phrase_docs(index, documents, tokenize(q.phrase, an), an, doc_filter)
-        scored = score_postings(index, terms, mode, doc_filter)
+        scored = score_postings(index, terms, mode, doc_filter, per_range_limit=prl)
     if q.not_terms:
         excl = prohibited_docs(index, q.not_terms, an)
         if excl is not None:
@@ -334,6 +367,74 @@ def bm25_topk(
     )
     # re-sort after the fetch join (joins don't preserve order)
     return fetched.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+def search(index: InvertedIndex, documents: DataFrame, q: Query):
+    """Two-phase eager search: rank top-k, then point-fetch stored fields.
+
+    The Lucene/Solr /select lifecycle is two-phase — collect the top-k
+    (docID, score) first, then fetch stored fields for exactly those k
+    docIDs (documentCache, solrconfig.xml:555). bm25_topk expresses the
+    whole thing lazily, which makes the fetch a broadcast join against a
+    full documents scan; at depth that scan dominates latency. Here the
+    rank phase is materialized (k rows to the driver — bounded by q.k),
+    and the fetch becomes `doc_id IN (…k ids…)` — pushed into the
+    parquet scan, pruning row groups by doc_id min/max (stable docIDs
+    are range-partitioned, flatten.assign_stable_ids). Returns a list of
+    Rows in rank order.
+    """
+    an = getattr(index, "analyzer", "standard")
+    terms = analyze_terms(q.terms, an)
+    if q.phrase:
+        terms = terms + [t for t in tokenize(q.phrase, an) if t not in terms]
+
+    doc_filter = None
+    if not q.filters.is_empty() or q.exists:
+        doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
+    prl = (q.start + q.k) if not q.not_terms else None
+    if (
+        q.phrase
+        and getattr(index, "has_positions", False)
+        and set(terms) <= set(tokenize(q.phrase, an))
+    ):
+        ptoks = tokenize(q.phrase, an)
+        if getattr(index, "ranged", False):
+            from nexlt_spark.query.ranged import phrase_score_ranged
+
+            scored = phrase_score_ranged(index, ptoks, prl if doc_filter is None else None)
+            if doc_filter is not None:
+                scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        else:
+            scored = phrase_score_postings(index, ptoks, doc_filter)
+    else:
+        if q.phrase:
+            doc_filter = phrase_docs(index, documents, tokenize(q.phrase, an), an, doc_filter)
+        scored = score_postings(index, terms, q.mode if not q.phrase else "and",
+                                doc_filter, per_range_limit=prl)
+    if q.not_terms:
+        excl = prohibited_docs(index, q.not_terms, an)
+        if excl is not None:
+            scored = scored.join(excl, "doc_id", "left_anti")
+
+    # phase 1: rank (TakeOrderedAndProject; ≤ start+k rows to the driver)
+    ranked = paginate(
+        scored, [F.col("score").desc(), F.col("doc_id").asc()], q.start, q.k
+    ).collect()
+    if not ranked:
+        return []
+    # phase 2: point fetch — doc_id IN pushed to the parquet scan
+    ids = [r["doc_id"] for r in ranked]
+    fl = q.fl or [c for c in documents.columns if c != "doc_id"]
+    fetched = {
+        r["doc_id"]: r
+        for r in documents.where(F.col("doc_id").isin(ids)).select("doc_id", *fl).collect()
+    }
+    out = []
+    for r in ranked:
+        row = fetched.get(r["doc_id"])
+        if row is not None:
+            out.append((r["doc_id"], r["score"], row))
+    return out
 
 
 def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame:

@@ -1,0 +1,221 @@
+"""Per-range fused scoring — the Lucene per-segment search model on Spark.
+
+The packed builder (index.packed) range-partitions EVERY term's postings
+by rsalt = doc_id >> range_shift, so a given doc's postings for all
+terms live in exactly one rsalt range — the ranges are Lucene segments
+re-expressed as grouping keys. That makes exact BM25 embarrassingly
+parallel per range: group the (already compressed) block rows of the
+query terms by rsalt and run ONE numpy kernel per range that decodes,
+computes contributions, folds them per doc in term-sorted order, and
+applies the AND-arity / phrase-adjacency checks — no postings-row
+shuffle, no collect_list, no sort_array.
+
+Contrast with the generic plan (query.exact.fold_scores): that one
+decodes in scan tasks (parallelism = file layout), then shuffles one row
+PER MATCHED POSTING into a groupBy(doc_id) + sort_array + aggregate.
+Here the only exchange moves the delta+varint block payloads (~1 byte
+per posting), and parallelism = number of doc ranges, independent of how
+many files a term's blocks landed in. At 100 TB the ranges are the unit
+of cluster parallelism, exactly like Lucene segments across shards
+(reference: Solr distributes per-core searches; solrconfig.xml merge
+policy keeps segments bounded — the rsalt range plays that role here).
+
+Float determinism: the kernel performs the same IEEE-754 operations in
+the same order as scoring.contribution_col + the term-sorted
+F.aggregate fold (accumulate per doc, terms ascending, starting 0.0) —
+asserted bit-identical in tests/test_ranged.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from nexlt_spark.scoring import B as B_PARAM
+from nexlt_spark.scoring import K1, K1_PLUS_1, ONE_MINUS_B, idf
+
+SCORED_SCHEMA = "doc_id long, score double"
+
+# phrase keys fuse (doc_id, shifted_position) into one int64:
+# doc_id * 2^POS_BITS + pos. Positions are token offsets within a doc —
+# bounded by the longest document's token count.
+POS_BITS = 22
+_MAX_POS = 1 << POS_BITS
+
+
+def _decode_group(pdf: pd.DataFrame, positions: bool):
+    """One rsalt group's block rows → flat posting arrays."""
+    from nexlt_spark.index.codec import decode_block_rows, decode_positions_rows
+
+    block_of, ids, tfs, dls = decode_block_rows(
+        [bytes(x) for x in pdf["doc_ids"]],
+        [bytes(x) for x in pdf["tfs"]],
+        [bytes(x) for x in pdf["dls"]],
+        pdf["n"].to_numpy(),
+    )
+    term_of = pdf["term"].to_numpy()[block_of]
+    pos_flat = None
+    if positions:
+        pos_flat = decode_positions_rows(
+            [bytes(x) for x in pdf["pos"]], tfs.astype(np.int64)
+        )
+    return term_of, ids.astype(np.int64), tfs, dls, pos_flat
+
+
+def _fold_scores_np(
+    term_of: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    terms_sorted: List[str],
+    idfs: dict,
+    avgdl: float,
+):
+    """Per-doc contribution fold, terms ascending — the numpy twin of
+    fold_scores' sort_array + F.aggregate (same op order ⇒ same bits).
+
+    Returns (unique_doc_ids, scores, n_terms_matched).
+    """
+    tfd = tfs.astype(np.float64)
+    dld = dls.astype(np.float64)
+    # op order mirrors scoring.contribution_col exactly
+    tfn = (tfd * K1_PLUS_1) / (tfd + K1 * (ONE_MINUS_B + (B_PARAM * dld) / avgdl))
+    uids, inv = np.unique(ids, return_inverse=True)
+    score = np.zeros(len(uids), dtype=np.float64)
+    cnt = np.zeros(len(uids), dtype=np.int64)
+    for t in terms_sorted:  # ascending term order = the fold's sort_array order
+        m = term_of == t
+        di = inv[m]  # ≤1 posting per (term, doc) ⇒ no duplicate indices
+        score[di] += idfs[t] * tfn[m]
+        cnt[di] += 1
+    return uids, score, cnt
+
+
+def _emit(uids, score, keep, limit: Optional[int]) -> pd.DataFrame:
+    uids, score = uids[keep], score[keep]
+    if limit is not None and len(uids) > limit:
+        # (score desc, doc_id asc) — identical to the global topk ordering,
+        # so per-range truncation preserves the global top `limit`
+        order = np.lexsort((uids, -score))[:limit]
+        uids, score = uids[order], score[order]
+    return pd.DataFrame({"doc_id": uids.astype(np.int64), "score": score})
+
+
+def _score_kernel(
+    terms_sorted: List[str],
+    idfs: dict,
+    avgdl: float,
+    n_required: Optional[int],
+    limit: Optional[int],
+):
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_of, ids, tfs, dls, _ = _decode_group(pdf, positions=False)
+        uids, sc, cnt = _fold_scores_np(
+            term_of, ids, tfs, dls, terms_sorted, idfs, avgdl
+        )
+        keep = cnt == n_required if n_required is not None else np.ones(len(uids), bool)
+        return _emit(uids, sc, keep, limit)
+
+    return score
+
+
+def _phrase_kernel(
+    phrase_tokens: List[str],
+    terms_sorted: List[str],
+    idfs: dict,
+    avgdl: float,
+    limit: Optional[int],
+):
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_of, ids, tfs, dls, pos_flat = _decode_group(pdf, positions=True)
+        tfs64 = tfs.astype(np.int64)
+        posting_of = np.repeat(np.arange(len(ids), dtype=np.int64), tfs64)
+        doc_of_pos = ids[posting_of]
+        term_of_pos = term_of[posting_of]
+        if len(pos_flat) and pos_flat.max() >= _MAX_POS:
+            raise ValueError(
+                f"position {pos_flat.max()} exceeds the {POS_BITS}-bit phrase-key "
+                "budget — raise POS_BITS for corpora with >4M-token documents"
+            )
+        # adjacency: a doc matches iff ∃v present in every token's shifted
+        # position set — progressive intersect of fused (doc, pos-i) keys
+        alive = None
+        for i, t in enumerate(phrase_tokens):
+            m = (term_of_pos == t) & (pos_flat >= i)
+            keys = (doc_of_pos[m] << POS_BITS) + (pos_flat[m] - i)
+            alive = keys if alive is None else np.intersect1d(alive, keys)
+            if len(alive) == 0:
+                return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+        pdocs = np.unique(alive >> POS_BITS)
+        uids, sc, cnt = _fold_scores_np(
+            term_of, ids, tfs, dls, terms_sorted, idfs, avgdl
+        )
+        keep = np.isin(uids, pdocs, assume_unique=True)
+        return _emit(uids, sc, keep, limit)
+
+    return score
+
+
+def _pruned_blocks(index, terms: List[str], positions: bool) -> DataFrame:
+    """Bucket-pruned, column-pruned block rows for the query terms."""
+    from pyspark.sql import functions as F
+
+    b = index.blocks
+    if index.n_buckets and "term_bucket" in b.columns:
+        buckets = index.term_buckets(terms)
+        if buckets:
+            b = b.where(F.col("term_bucket").isin(buckets))
+    cols = ["term", "rsalt", "n", "doc_ids", "tfs", "dls"] + (
+        ["pos"] if positions else []
+    )
+    return b.where(F.col("term").isin(list(terms))).select(*cols)
+
+
+def score_ranged(
+    index,
+    terms: List[str],
+    mode: str = "or",
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """(doc_id, score) via the per-range fused kernel. Requires a
+    uniformly ranged BlockedIndex (index.ranged — the packed builder).
+
+    limit: optional per-range top-(limit) truncation with the global
+    (score desc, doc_id asc) ordering — safe to pass start+k when no
+    post-hoc filtering (NOT terms / fq) will remove rows.
+    """
+    spark = index.doc_stats.sparkSession
+    qterms = sorted(set(terms))
+    dfs = index.term_dfs(qterms)
+    present = [t for t in qterms if t in dfs]
+    if not present or (mode == "and" and len(present) < len(qterms)):
+        return spark.createDataFrame([], SCORED_SCHEMA)
+    n, avgdl = index.stats.n_docs, index.stats.avgdl
+    idfs = {t: idf(n, dfs[t]) for t in present}
+    kernel = _score_kernel(
+        present, idfs, avgdl, len(present) if mode == "and" else None, limit
+    )
+    blocks = _pruned_blocks(index, present, positions=False)
+    return blocks.groupBy("rsalt").applyInPandas(kernel, SCORED_SCHEMA)
+
+
+def phrase_score_ranged(
+    index,
+    phrase_tokens: List[str],
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """Fused phrase plan on a ranged positions-bearing store: adjacency
+    AND scoring inside the per-range kernel (positions never leave it)."""
+    spark = index.doc_stats.sparkSession
+    uniq = sorted(set(phrase_tokens))
+    dfs = index.term_dfs(uniq)
+    if len(dfs) < len(uniq):
+        return spark.createDataFrame([], SCORED_SCHEMA)
+    n, avgdl = index.stats.n_docs, index.stats.avgdl
+    idfs = {t: idf(n, dfs[t]) for t in uniq}
+    kernel = _phrase_kernel(phrase_tokens, uniq, idfs, avgdl, limit)
+    blocks = _pruned_blocks(index, uniq, positions=True)
+    return blocks.groupBy("rsalt").applyInPandas(kernel, SCORED_SCHEMA)
