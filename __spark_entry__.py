@@ -208,6 +208,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_wand_or"] = _bm25_wand
 
+    # -- per-range fused scorer (query/ranged.py — the at-depth plan) ------
+    def _ranged_index(s, d):
+        key = ("ranged", d)
+        if key not in _INDEX_CACHE:
+            from nexlt_spark.deploy import ensure_shipped
+            from nexlt_spark.index.packed import build_blocked_direct
+
+            ensure_shipped(s)
+            # range_shift=8 → many disjoint doc ranges even at small sf,
+            # so the kernel's multi-range merge shape is what's checked
+            _INDEX_CACHE[key] = build_blocked_direct(
+                _docs(s, d), range_shift=8, positions=True
+            ).persist()
+        return _INDEX_CACHE[key]
+
+    def _bm25_ranged(s, d):  # per-range decode+score+arity kernel ≡ exact BM25
+        from nexlt_spark.query.ranged import score_ranged
+
+        scored = score_ranged(_ranged_index(s, d), ["spark", "join"], mode="and", limit=10)
+        top = paginate(scored, [F.col("score").desc(), F.col("doc_id").asc()], 0, 10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_ranged_and"] = _bm25_ranged
+
+    def _bm25_ranged_phrase(s, d):  # in-kernel positional adjacency + scoring
+        from nexlt_spark.analysis import tokenize
+        from nexlt_spark.query.ranged import phrase_score_ranged
+
+        scored = phrase_score_ranged(_ranged_index(s, d), tokenize("table part"), limit=10)
+        top = paginate(scored, [F.col("score").desc(), F.col("doc_id").asc()], 0, 10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_ranged_phrase"] = _bm25_ranged_phrase
+
     # -- raw query-string surface (parallel.cgi/corpus.cgi syntax) ---------
     def _parsed(s, d, raw):
         from nexlt_spark.query.parser import parse_query
@@ -530,6 +564,9 @@ def oracle_sql() -> dict[str, str]:
     o["parsed_query_filtered"] = o["bm25_filtered"]
     o["parsed_query_phrase"] = o["bm25_phrase"]
     o["bm25_wand_or"] = _sql_bm25_2("spark", "join", "or")
+    # ranged fused kernel must equal the same oracles as the generic plans
+    o["bm25_ranged_and"] = o["bm25_multi_and"]
+    o["bm25_ranged_phrase"] = o["bm25_phrase"]
     o["realtime_get"] = (
         "SELECT doc_id, lang, source, text FROM documents WHERE doc_id = 42"
     )

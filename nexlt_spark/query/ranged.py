@@ -202,6 +202,51 @@ def score_ranged(
     return blocks.groupBy("rsalt").applyInPandas(kernel, SCORED_SCHEMA)
 
 
+def score_ranged_masked(
+    blocks: DataFrame,
+    terms_sorted: List[str],
+    idfs: dict,
+    avgdl: float,
+    n_required: Optional[int],
+    keep_bc,
+    slice_shift: int,
+) -> DataFrame:
+    """Per-range fold restricted to a broadcast candidate set (the WAND
+    rescore on a ranged store). Blocks whose docID range intersects no
+    candidate slice are skipped before decode (the skip-list jump);
+    surviving rows are masked to exact membership, then folded with the
+    same kernel as score_ranged. Requires a uniformly ranged store
+    (a doc's postings for every term share one rsalt group).
+
+    `blocks` is the caller's (already pruned) block-row DataFrame — WAND
+    passes its θ-kept blocks for candidate discovery but ALL query-term
+    blocks here, so candidate docs are rescored exactly.
+    """
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = keep_bc.value
+        slices = np.unique(keep >> np.int64(slice_shift))
+        lo = pdf["first_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
+        hi = pdf["last_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
+        hits = np.searchsorted(slices, hi, "right") > np.searchsorted(slices, lo, "left")
+        pdf = pdf[hits]
+        empty = pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+        if len(pdf) == 0:
+            return empty
+        term_of, ids, tfs, dls, _ = _decode_group(pdf, positions=False)
+        m = np.isin(ids, keep)
+        if not m.any():
+            return empty
+        uids, sc, cnt = _fold_scores_np(
+            term_of[m], ids[m], tfs[m], dls[m], terms_sorted, idfs, avgdl
+        )
+        ok = cnt == n_required if n_required is not None else np.ones(len(uids), bool)
+        return _emit(uids, sc, ok, None)
+
+    cols = ["term", "rsalt", "n", "first_doc_id", "last_doc_id", "doc_ids", "tfs", "dls"]
+    return blocks.select(*cols).groupBy("rsalt").applyInPandas(kern, SCORED_SCHEMA)
+
+
 def phrase_score_ranged(
     index,
     phrase_tokens: List[str],

@@ -219,6 +219,21 @@ def _xxh64(data: bytes, seed: int) -> int:
     return signed
 
 
+def _rescore(bidx, blocks_q, present, idfs, avgdl, n_required, bc, slice_shift):
+    """Candidate-restricted exact rescore. On a ranged store the decode,
+    mask, and fold all happen inside the per-range kernel
+    (query.ranged.score_ranged_masked) — the shuffle moves block bytes,
+    not candidate posting rows; otherwise the generic decode+fold plan."""
+    if getattr(bidx, "ranged", False):
+        from nexlt_spark.query.ranged import score_ranged_masked
+
+        return score_ranged_masked(
+            blocks_q, present, idfs, avgdl, n_required, bc, slice_shift
+        )
+    rows = _decode_filtered(blocks_q, bc, slice_shift)
+    return fold_scores(rows, idfs, avgdl, n_required)
+
+
 def wand_topk(
     bidx: BlockedIndex,
     terms: List[str],
@@ -248,10 +263,12 @@ def wand_topk(
     n_required = len(present) if mode == "and" else None
 
     def _exact_fallback() -> DataFrame:
-        p = _decode_filtered(blocks_q)
-        if doc_filter is not None:
-            p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
-        scored = fold_scores(p, idfs, avgdl, n_required)
+        # delegate to the exact path (which itself picks the per-range
+        # fused plan on ranged stores — per_range_limit=k is safe, WAND
+        # has no post-hoc row removal beyond doc_filter, handled inside)
+        from nexlt_spark.query.exact import score_postings
+
+        scored = score_postings(bidx, present, mode, doc_filter, per_range_limit=k)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     if mode == "and":
@@ -270,8 +287,7 @@ def wand_topk(
         if cand_ids.size == 0:
             return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
         bc = spark.sparkContext.broadcast(cand_ids)
-        rows = _decode_filtered(blocks_q, bc, slice_shift)
-        scored = fold_scores(rows, idfs, avgdl, n_required)
+        scored = _rescore(bidx, blocks_q, present, idfs, avgdl, n_required, bc, slice_shift)
         if stats_out is not None:
             stats_out.update(fallback=False, n_candidates=int(cand_ids.size), theta=None)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
@@ -317,6 +333,5 @@ def wand_topk(
         )
 
     bc = spark.sparkContext.broadcast(cand_ids)
-    rows = _decode_filtered(blocks_q, bc, slice_shift)
-    scored = fold_scores(rows, idfs, avgdl, None)
+    scored = _rescore(bidx, blocks_q, present, idfs, avgdl, None, bc, slice_shift)
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
