@@ -29,9 +29,10 @@ from pyspark.sql import functions as F
 
 from nexlt_spark.session import get_spark
 from nexlt_spark.flatten import flatten_transcripts
-from nexlt_spark.index.blocks import BlockedIndex, build_blocks
 from nexlt_spark.index.build import build_index
-from nexlt_spark.query.exact import bm25_topk, run_query
+from nexlt_spark.index.packed import build_blocked_direct
+from nexlt_spark.query.exact import bm25_topk, paginate, run_query, score_postings
+from nexlt_spark.query.ranged import phrase_score_ranged
 from nexlt_spark.query.model import Query, QueryFilters
 from nexlt_spark.query.wand import wand_topk
 from nexlt_spark.synth import synth_transcripts
@@ -80,13 +81,11 @@ def main():
     build_sec = time.perf_counter() - t0
     turns_per_sec = n_turns / build_sec
 
-    # blocked (compressed, block-max) postings for the WAND fast path
-    bidx = BlockedIndex(
-        blocks=build_blocks(idx).persist(),
-        doc_stats=idx.doc_stats,
-        term_stats=idx.term_stats,
-        stats=idx.stats,
-    )
+    # blocked (compressed, block-max) postings via the packed scale-path
+    # builder: ranged=True, so WAND's rescore and the q_ranged_* shapes
+    # run the per-range fused kernel (query/ranged.py) — the serving plan
+    bidx = build_blocked_direct(documents, positions=True)
+    bidx.blocks = bidx.blocks.persist()
     bidx.blocks.count()
 
     # ---- query latencies over the built index -----------------------------
@@ -115,6 +114,15 @@ def main():
             bidx, ["spark", "index", "merge"], k=10, mode="or"
         ).collect(),
         "q_wand_and": lambda: wand_topk(bidx, ["run", "file"], k=10, mode="and").collect(),
+        # per-range fused kernel on the packed store (the serving plan)
+        "q_ranged_and": lambda: paginate(
+            score_postings(bidx, ["run", "file"], "and", per_range_limit=10),
+            [F.col("score").desc(), F.col("doc_id").asc()], 0, 10,
+        ).collect(),
+        "q_ranged_phrase": lambda: paginate(
+            phrase_score_ranged(bidx, ["the", "run"], limit=10),
+            [F.col("score").desc(), F.col("doc_id").asc()], 0, 10,
+        ).collect(),
     }
 
     # ---- pipeline ops over the sf tables ----------------------------------

@@ -51,7 +51,11 @@ from nexlt_spark.index.blocks import (
     BlockedIndex,
 )
 from nexlt_spark.index.build import IndexStats
-from nexlt_spark.index.codec import BLOCK_SIZE, encode_blocks
+from nexlt_spark.index.codec import (
+    BLOCK_SIZE,
+    _varint_encode_with_offsets,
+    encode_blocks,
+)
 from nexlt_spark.scoring import B as B_PARAM
 from nexlt_spark.scoring import K1, K1_PLUS_1, ONE_MINUS_B
 
@@ -140,11 +144,14 @@ def _emit_packed(
             # batch spans ≤ maxRecordsPerBatch docs, so its rsalt spread is
             # tiny — rebase to the batch minimum and use the actual span as
             # the multiplier so keys from different terms can never collide
-            # however sparse/offset the batch's doc_ids are.
+            # however sparse/offset the batch's doc_ids are. p_doc as the
+            # lexsort minor key forces within-run docID-ascending order
+            # even when the input batch itself isn't doc-sorted — the
+            # delta encoding below requires it.
             rel_rsalt = p_rsalt - p_rsalt.min()
             span = np.int64(rel_rsalt.max()) + 1
             fuse = p_term * span + rel_rsalt
-            order = np.argsort(fuse, kind="stable")
+            order = np.lexsort((p_doc, fuse))
             p_doc, p_term, p_tf, p_dl, p_rsalt, fuse = (
                 p_doc[order], p_term[order], p_tf[order], p_dl[order], p_rsalt[order], fuse[order],
             )
@@ -152,14 +159,27 @@ def _emit_packed(
             starts = np.concatenate(([0], cut))
             ends = np.concatenate((cut, [len(fuse)]))
             terms_arr = np.asarray(uniques, dtype=object)
+            # delta+varint the runs AT EMIT (same wire format decode_block_rows
+            # reads: per-run restart, first docID absolute). The emit→encode
+            # exchange then moves ~4 B/posting instead of 16 B raw — shuffle
+            # write+read traffic is the dominant cost of the encode phase at
+            # scale, and compressing before the exchange is 4× less of it.
+            deltas = np.empty_like(p_doc)
+            if len(p_doc):
+                deltas[0] = p_doc[0]
+                np.subtract(p_doc[1:], p_doc[:-1], out=deltas[1:])
+                deltas[starts] = p_doc[starts]
+            buf_ids, off_ids = _varint_encode_with_offsets(deltas)
+            buf_tfs, off_tfs = _varint_encode_with_offsets(p_tf)
+            buf_dls, off_dls = _varint_encode_with_offsets(p_dl)
             rows = {
                 "term": terms_arr[p_term[starts]],
                 "rsalt": p_rsalt[starts].astype(np.int64),
                 "n": (ends - starts).astype(np.int32),
                 "sum_dl": np.zeros(len(starts), dtype=np.int64),
-                "doc_ids": [p_doc[s:e].tobytes() for s, e in zip(starts, ends)],
-                "tfs": [p_tf[s:e].tobytes() for s, e in zip(starts, ends)],
-                "dls": [p_dl[s:e].tobytes() for s, e in zip(starts, ends)],
+                "doc_ids": [bytes(buf_ids[off_ids[s] : off_ids[e]]) for s, e in zip(starts, ends)],
+                "tfs": [bytes(buf_tfs[off_tfs[s] : off_tfs[e]]) for s, e in zip(starts, ends)],
+                "dls": [bytes(buf_dls[off_dls[s] : off_dls[e]]) for s, e in zip(starts, ends)],
             }
             if positions:
                 # reorder the token stream to the fuse (term, rsalt)
@@ -170,11 +190,20 @@ def _emit_packed(
                 rank[order] = np.arange(npost, dtype=np.int64)
                 ppost = np.repeat(np.arange(npost, dtype=np.int64), counts)
                 tok_new = np.argsort(rank[ppost], kind="stable")
-                pos_final = pos_by_posting[tok_new].astype(np.int32)
+                pos_final = pos_by_posting[tok_new].astype(np.int64)
                 tok_bounds = np.zeros(npost + 1, dtype=np.int64)
                 np.cumsum(p_tf.astype(np.int64), out=tok_bounds[1:])
+                # same per-posting-restart delta+varint wire format as the
+                # final store (decode_positions_rows reads it): ~1 B/token
+                # over the exchange instead of 4 B raw
+                pdel = np.empty_like(pos_final)
+                if len(pos_final):
+                    pdel[0] = pos_final[0]
+                    np.subtract(pos_final[1:], pos_final[:-1], out=pdel[1:])
+                    pdel[tok_bounds[:-1]] = pos_final[tok_bounds[:-1]]
+                buf_pos, off_pos = _varint_encode_with_offsets(pdel)
                 rows["pos"] = [
-                    pos_final[tok_bounds[s] : tok_bounds[e]].tobytes()
+                    bytes(buf_pos[off_pos[tok_bounds[s]] : off_pos[tok_bounds[e]]])
                     for s, e in zip(starts, ends)
                 ]
             yield pd.concat([sent, pd.DataFrame(rows)], ignore_index=True)
@@ -188,22 +217,69 @@ def _encode_packed(avgdl: float, block_size: int = BLOCK_SIZE, positions: bool =
     The groupBy-term applyInPandas merge of partial posting runs
     (north_star wording), on arrays instead of rows.
     """
-    from nexlt_spark.index.codec import encode_positions_blocks
+    from nexlt_spark.index.codec import (
+        decode_block_rows,
+        decode_positions_rows,
+        encode_positions_blocks,
+    )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.frombuffer(b"".join(pdf["doc_ids"]), dtype=np.int64)
-        tfs = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.int32)
-        dls = np.frombuffer(b"".join(pdf["dls"]), dtype=np.int32)
-        order = np.argsort(ids, kind="stable")  # merge runs: docID order
+        ns = pdf["n"].to_numpy(np.int64)
+        _, uids, utfs, udls = decode_block_rows(
+            [bytes(x) for x in pdf["doc_ids"]],
+            [bytes(x) for x in pdf["tfs"]],
+            [bytes(x) for x in pdf["dls"]],
+            ns,
+        )
+        ids = uids.astype(np.int64)
+        tfs = utfs.astype(np.int32)
+        dls = udls.astype(np.int32)
+        # merge runs: each run arrives docID-ascending and runs from
+        # different batches cover disjoint doc spans (flatten assigns
+        # contiguous docIDs per partition), so ordering runs by first
+        # docID and CONCATENATING is the merge — O(runs log runs)
+        # instead of an O(n log n) argsort+gather over all postings.
+        # Falls back to the full argsort if spans ever overlap.
+        run_starts = np.zeros(len(ns), dtype=np.int64)
+        np.cumsum(ns[:-1], out=run_starts[1:])
+        run_ends = run_starts + ns
+        first, last = ids[run_starts], ids[run_ends - 1]
+        ro = np.argsort(first, kind="stable")
+        fo, lo_ = first[ro], last[ro]
+        if len(ns) == 1:
+            order = None
+        elif np.all(lo_[:-1] < fo[1:]):
+            lens = ns[ro]
+            out_starts = np.zeros(len(ns), dtype=np.int64)
+            np.cumsum(lens[:-1], out=out_starts[1:])
+            order = (
+                np.arange(len(ids), dtype=np.int64)
+                - np.repeat(out_starts, lens)
+                + np.repeat(run_starts[ro], lens)
+            )
+        else:
+            order = np.argsort(ids, kind="stable")
         if positions:
-            pos_flat = np.frombuffer(b"".join(pdf["pos"]), dtype=np.int32)
-            npost = len(ids)
-            rank = np.empty(npost, dtype=np.int64)
-            rank[order] = np.arange(npost, dtype=np.int64)
-            ppost = np.repeat(np.arange(npost, dtype=np.int64), tfs.astype(np.int64))
-            tok_new = np.argsort(rank[ppost], kind="stable")
-            pos_sorted = pos_flat[tok_new].astype(np.int64)
-        ids, tfs, dls = ids[order], tfs[order], dls[order]
+            tfs64 = tfs.astype(np.int64)
+            pos_flat = decode_positions_rows([bytes(x) for x in pdf["pos"]], tfs64)
+            if order is None:
+                pos_sorted = pos_flat.astype(np.int64)
+            else:
+                # token-level gather mirroring the posting gather: each
+                # ordered posting contributes its contiguous token span
+                tok_bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+                np.cumsum(tfs64, out=tok_bounds[1:])
+                tlens = tfs64[order]
+                touts = np.zeros(len(ids), dtype=np.int64)
+                np.cumsum(tlens[:-1], out=touts[1:])
+                tok_new = (
+                    np.arange(tok_bounds[-1], dtype=np.int64)
+                    - np.repeat(touts, tlens)
+                    + np.repeat(tok_bounds[order], tlens)
+                )
+                pos_sorted = pos_flat[tok_new].astype(np.int64)
+        if order is not None:
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
         tfd = tfs.astype(np.float64)
         dld = dls.astype(np.float64)
         tfn = (tfd * K1_PLUS_1) / (tfd + K1 * (ONE_MINUS_B + (B_PARAM * dld) / avgdl))
