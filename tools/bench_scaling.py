@@ -39,9 +39,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DEFAULT_INPUT = "/tmp/nexlt_scaling/input"
+EXEC_MEM_MB = 12288  # per-executor memory for local-cluster levels
 
 
-def _worker(cpus: int, input_dir: str, repeats: int) -> None:
+def _parse_level(tok: str) -> tuple[int, str, str]:
+    """Level token → (total_cores, master_url, label).
+
+    "8"   → 8 cores, local[8]               (thread-multiplexed stand-in)
+    "4x2" → 8 cores, local-cluster[4,2,MEM] (4 EXECUTOR JVMs × 2 cores —
+            the literal N-executors shape of the north rule: each
+            executor has its own JVM heap, GC, and Python-runner pool,
+            replicated 4× at the 4N level exactly as a real cluster
+            would)
+    """
+    if "x" in tok:
+        n, c = (int(p) for p in tok.split("x"))
+        return n * c, f"local-cluster[{n},{c},{EXEC_MEM_MB}]", f"{n}x{c}"
+    c = int(tok)
+    return c, f"local[{c}]", str(c)
+
+
+def _worker(level: str, input_dir: str, repeats: int) -> None:
     """One parallelism level: warm JVM, then time the FULL production
     pipeline (flatten -> index -> blocked/compressed store on disk), then
     query p50 against the bucket-pruned blocked store.
@@ -61,15 +79,37 @@ def _worker(cpus: int, input_dir: str, repeats: int) -> None:
     from nexlt_spark.query.model import Query, QueryFilters
     from nexlt_spark.session import get_spark
 
+    cpus, master, label = _parse_level(level)
+    extra = {
+        # small input files: force enough read splits to feed all cores
+        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+    }
+    if master.startswith("local-cluster"):
+        extra["spark.executor.memory"] = f"{EXEC_MEM_MB}m"
     spark = get_spark(
-        app_name=f"nexlt-scaling-{cpus}",
-        master=f"local[{cpus}]",
+        app_name=f"nexlt-scaling-{label}",
+        master=master,
         shuffle_partitions=4 * cpus,
-        extra_conf={
-            # small input files: force enough read splits to feed all cores
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-        },
+        extra_conf=extra,
     )
+    pin_cores = os.environ.get("NEXLT_PIN_CORES")
+    if pin_cores:
+        # Executor-only pinning (local-cluster levels): a real cluster's
+        # driver runs on its own node, so the driver JVM floats and ONLY
+        # the executor JVMs are confined to the level's core budget. Must
+        # happen BEFORE the warmup build: executor Python workers fork on
+        # first task and inherit the affinity.
+        spark.sparkContext.parallelize(range(cpus), cpus).count()  # executors up
+        out = subprocess.run(
+            ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+            capture_output=True,
+            text=True,
+        )
+        pids = out.stdout.split()
+        assert pids, "executor-pinning requested but no executor JVMs found"
+        for pid in pids:
+            subprocess.run(["taskset", "-acp", pin_cores, pid], capture_output=True)
+        print(f"pinned {len(pids)} executor JVMs to cores {pin_cores}", file=sys.stderr)
     transcripts = spark.read.parquet(input_dir)
     n_turns = transcripts.count()  # warm FS cache outside the timer
     store = tempfile.mkdtemp(prefix=f"nexlt_store_{cpus}_")
@@ -150,26 +190,32 @@ def _gen_input(input_dir: str, n_convs: int) -> None:
     spark.stop()
 
 
-def _run_worker(cpus: int, input_dir: str, repeats: int, pin: bool = False) -> dict:
+def _run_worker(level: str, input_dir: str, repeats: int, pin: bool = False) -> dict:
+    cores, _, _ = _parse_level(level)
     cmd = [
         sys.executable,
         os.path.abspath(__file__),
         "--worker",
-        str(cpus),
+        level,
         "--input",
         input_dir,
         "--repeats",
         str(repeats),
     ]
-    if pin:
-        # Pin the whole process tree (driver JVM, task threads, Python
-        # workers) to exactly `cpus` physical cores. Unpinned, the local[N]
-        # level's N task threads + N Python workers spread over ALL 32
-        # physical cores — the small "cluster" silently borrows 4x its core
-        # budget, which understates scaling. An N-core cluster has N cores;
-        # taskset makes the stand-in honest.
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ, NEXLT_DRIVER_MEM="48g")
+    if pin:
+        if "x" in level:
+            # local-cluster level: pin ONLY the executor JVMs (inside the
+            # worker, once they register) — the driver floats, as it would
+            # on its own cluster node.
+            env["NEXLT_PIN_CORES"] = f"0-{cores - 1}"
+        else:
+            # local[] level: driver == executor JVM, so pin the whole
+            # process tree to exactly `cores` physical cores. Unpinned,
+            # the small level's threads + Python workers spread over ALL
+            # 32 physical cores — a 2-core "cluster" borrowing 4x its
+            # core budget, which corrupts the comparison.
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, check=True, env=env
     )
@@ -179,7 +225,11 @@ def _run_worker(cpus: int, input_dir: str, repeats: int, pin: bool = False) -> d
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--worker", type=int, default=0, help="run as worker at local[N]")
+    ap.add_argument(
+        "--worker",
+        default="",
+        help="run as worker at a level: '8' = local[8], '4x2' = local-cluster[4,2]",
+    )
     ap.add_argument("--input", default=DEFAULT_INPUT)
     ap.add_argument("--convs", type=int, default=250000)
     ap.add_argument("--repeats", type=int, default=3)
@@ -201,30 +251,30 @@ def main() -> None:
         print(f"generating input ({args.convs} convs) -> {args.input}", file=sys.stderr)
         _gen_input(args.input, args.convs)
 
-    lo, hi = (int(x) for x in args.levels.split(","))
+    lo, hi = args.levels.split(",")
     runs = {lo: [], hi: []}
     # interleaved A/B/A/B...: each level measured `trials` times in fresh
     # JVMs, alternating, so slow machine drift hits both levels equally;
     # median per level is the reported number
     for trial in range(args.trials):
-        for cpus in (lo, hi):
-            print(f"trial {trial}: worker at local[{cpus}] ...", file=sys.stderr)
-            r = _run_worker(cpus, args.input, args.repeats, pin=args.pin)
-            runs[cpus].append(r)
+        for level in (lo, hi):
+            print(f"trial {trial}: worker at {level} ...", file=sys.stderr)
+            r = _run_worker(level, args.input, args.repeats, pin=args.pin)
+            runs[level].append(r)
             print(json.dumps(r), file=sys.stderr)
 
     res = {}
-    for cpus in (lo, hi):
-        med_tps = statistics.median(r["turns_per_sec"] for r in runs[cpus])
-        res[cpus] = dict(runs[cpus][0])
-        res[cpus]["turns_per_sec"] = round(med_tps, 1)
-        res[cpus]["build_sec"] = round(res[cpus]["n_turns"] / med_tps, 3)
-        res[cpus]["query_p50_sec"] = round(
-            statistics.median(r["query_p50_sec"] for r in runs[cpus]), 4
+    for level in (lo, hi):
+        med_tps = statistics.median(r["turns_per_sec"] for r in runs[level])
+        res[level] = dict(runs[level][0])
+        res[level]["turns_per_sec"] = round(med_tps, 1)
+        res[level]["build_sec"] = round(res[level]["n_turns"] / med_tps, 3)
+        res[level]["query_p50_sec"] = round(
+            statistics.median(r["query_p50_sec"] for r in runs[level]), 4
         )
-        res[cpus]["all_tps"] = [r["turns_per_sec"] for r in runs[cpus]]
+        res[level]["all_tps"] = [r["turns_per_sec"] for r in runs[level]]
 
-    ratio = hi / lo
+    ratio = _parse_level(hi)[0] / _parse_level(lo)[0]
     eff = (res[hi]["turns_per_sec"] / res[lo]["turns_per_sec"]) / ratio
     summary = {
         "metric": "scaling_efficiency",
@@ -245,13 +295,13 @@ real submission would), levels interleaved A/B x{args.trials} and medianed to
 cancel machine drift. Pipeline timed end-to-end: flatten (stable docIDs)
 -> tokenize/tf -> stats -> salted blocked encode -> bucket-partitioned
 store on disk. Produced by `python tools/bench_scaling.py`.
-Per-trial throughputs: local[{lo}] {res[lo]['all_tps']},
-local[{hi}] {res[hi]['all_tps']}.
+Per-trial throughputs: {lo} {res[lo]['all_tps']},
+{hi} {res[hi]['all_tps']}.
 
 | Parallelism | Build (s) | Throughput (turns/s) | Query p50 (s) |
 |---|---|---|---|
-| local[{lo}]  (N)  | {res[lo]['build_sec']} | {res[lo]['turns_per_sec']} | {res[lo]['query_p50_sec']} |
-| local[{hi}] (4N) | {res[hi]['build_sec']} | {res[hi]['turns_per_sec']} | {res[hi]['query_p50_sec']} |
+| {lo}  (N)  | {res[lo]['build_sec']} | {res[lo]['turns_per_sec']} | {res[lo]['query_p50_sec']} |
+| {hi} (4N) | {res[hi]['build_sec']} | {res[hi]['turns_per_sec']} | {res[hi]['query_p50_sec']} |
 
 **Scaling efficiency = (tps_4N / tps_N) / 4 = {eff:.3f}**
 (target >= 0.8 per BASELINE.json north_rule; efficiency is defined on
