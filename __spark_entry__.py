@@ -208,6 +208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_wand_or"] = _bm25_wand
 
+    def _bm25_planned(s, d):  # cost-based WAND-vs-exact routing, rank-invariant
+        from nexlt_spark.query.planner import topk
+
+        top = topk(_ranged_index(s, d), ["spark", "join"], k=10, mode="or")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_planned_or"] = _bm25_planned
+
     # -- per-range fused scorer (query/ranged.py — the at-depth plan) ------
     def _ranged_index(s, d):
         key = ("ranged", d)
@@ -564,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
     o["parsed_query_filtered"] = o["bm25_filtered"]
     o["parsed_query_phrase"] = o["bm25_phrase"]
     o["bm25_wand_or"] = _sql_bm25_2("spark", "join", "or")
+    o["bm25_planned_or"] = _sql_bm25_2("spark", "join", "or")
     # ranged fused kernel must equal the same oracles as the generic plans
     o["bm25_ranged_and"] = o["bm25_multi_and"]
     o["bm25_ranged_phrase"] = o["bm25_phrase"]

@@ -89,24 +89,33 @@ def build_blocks(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     range_shift: int = DEFAULT_RANGE_SHIFT,
     block_size: int = BLOCK_SIZE,
+    uniform_range: bool = False,
 ) -> DataFrame:
     """Flat postings → blocked postings DataFrame (one row per block).
 
     A positions-bearing flat index (build_index(positions=True)) yields
     positions-bearing blocks (extra per-block `pos` binary) — phrase
     queries then run off the blocked store too.
+
+    uniform_range=True range-partitions EVERY term (rsalt = doc_id >>
+    range_shift, no hot-term discovery job) — the invariant the
+    per-range fused scorer (query.ranged) requires; wrap the result in
+    BlockedIndex(ranged=True).
     """
-    hot = [
-        r["term"]
-        for r in index.term_stats.where(F.col("df") > salt_threshold).select("term").collect()
-    ]
     p = index.postings
-    if hot:
-        rsalt = F.when(
-            F.col("term").isin(hot), F.shiftright(F.col("doc_id"), range_shift)
-        ).otherwise(F.lit(0))
+    if uniform_range:
+        rsalt = F.shiftright(F.col("doc_id"), range_shift)
     else:
-        rsalt = F.lit(0)
+        hot = [
+            r["term"]
+            for r in index.term_stats.where(F.col("df") > salt_threshold).select("term").collect()
+        ]
+        if hot:
+            rsalt = F.when(
+                F.col("term").isin(hot), F.shiftright(F.col("doc_id"), range_shift)
+            ).otherwise(F.lit(0))
+        else:
+            rsalt = F.lit(0)
     p = p.withColumn("rsalt", rsalt.cast("long"))
     with_pos = index.has_positions
     return p.groupBy("term", "rsalt").applyInPandas(

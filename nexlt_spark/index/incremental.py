@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from nexlt_spark.flatten import assign_stable_ids, ORDER_COLS
 from nexlt_spark.index.build import (
+    RAW_POS_SCHEMA,
     RAW_SCHEMA,
     _SENTINEL,
     IndexStats,
@@ -111,6 +112,7 @@ def ingest_batch(
     path: str,
     build_id: str = "inc-0",
     analyzer: str = "standard",
+    positions: bool = False,
 ) -> Optional[BatchResult]:
     """Commit one transcript batch: new docs + tombstones + posting run.
 
@@ -131,6 +133,14 @@ def ingest_batch(
         raise ValueError(
             f"store at {path} was built with analyzer={prior_an!r}; "
             f"cannot ingest a batch with analyzer={analyzer!r}"
+        )
+    # positions are likewise a whole-store property: a phrase query over
+    # mixed runs would silently miss docs from positions-less batches
+    prior_pos = done[-1].get("positions", False) if done else None
+    if prior_pos is not None and bool(prior_pos) != positions:
+        raise ValueError(
+            f"store at {path} was built with positions={bool(prior_pos)}; "
+            f"cannot ingest a batch with positions={positions}"
         )
     base_doc_id = (done[-1]["max_doc_id"] + 1) if done else 0
 
@@ -161,7 +171,8 @@ def ingest_batch(
 
     # posting run for the new docs (same kernel as the full build)
     spark.read.parquet(doc_dir).select("doc_id", "text").mapInPandas(
-        _emit_postings("doc_id", "text", analyzer), schema=RAW_SCHEMA
+        _emit_postings("doc_id", "text", analyzer, positions),
+        schema=RAW_POS_SCHEMA if positions else RAW_SCHEMA,
     ).write.mode("overwrite").parquet(run_dir)
 
     max_id = base_doc_id + n_new - 1
@@ -184,6 +195,7 @@ def ingest_batch(
                 "first_doc_id": base_doc_id,
                 "max_doc_id": max_id,
                 "analyzer": analyzer,
+                "positions": positions,
                 "seconds": round(res.seconds, 4),
             },
             fh,
@@ -245,6 +257,45 @@ def live_index(spark: SparkSession, path: str) -> InvertedIndex:
         term_stats=term_stats,
         stats=stats,
         analyzer=done[-1].get("analyzer", "standard"),
+    )
+
+
+def live_blocked_index(
+    spark: SparkSession,
+    path: str,
+    range_shift: Optional[int] = None,
+    block_size: Optional[int] = None,
+) -> "BlockedIndex":
+    """Ranged BlockedIndex over the live (tombstone-masked) incremental
+    store — the 'reopen the searcher over merged segments' step: every
+    serving plan (per-range fused BM25, Block-Max WAND, in-kernel phrase
+    when batches were ingested with positions=True) runs on a store that
+    was built one batch at a time. Uniform range partitioning needs no
+    hot-term discovery job; docIDs are batch-contiguous so each batch's
+    postings land in a bounded set of rsalt ranges (incremental segments
+    stay physically clustered, the TieredMergePolicy locality analog).
+    """
+    from nexlt_spark.index.blocks import (
+        BLOCK_SIZE,
+        DEFAULT_RANGE_SHIFT,
+        BlockedIndex,
+        build_blocks,
+    )
+
+    idx = live_index(spark, path)
+    blocks = build_blocks(
+        idx,
+        range_shift=DEFAULT_RANGE_SHIFT if range_shift is None else range_shift,
+        block_size=BLOCK_SIZE if block_size is None else block_size,
+        uniform_range=True,
+    )
+    return BlockedIndex(
+        blocks=blocks,
+        doc_stats=idx.doc_stats,
+        term_stats=idx.term_stats,
+        stats=idx.stats,
+        analyzer=idx.analyzer,
+        ranged=True,
     )
 
 

@@ -68,9 +68,26 @@ _SENTINEL = ""
 
 
 def _emit_packed(
-    doc_id_col: str, text_col: str, analyzer: str, range_shift: int, positions: bool = False
+    doc_id_col: str,
+    text_col: str,
+    analyzer: str,
+    range_shift: int,
+    positions: bool = False,
+    wire: str = "raw",
 ):
-    """mapInPandas kernel: document batch → packed posting-run rows."""
+    """mapInPandas kernel: document batch → packed posting-run rows.
+
+    wire: how run payloads cross the emit→encode exchange.
+      "raw"    — native-width numpy bytes (int64 doc, int32 tf/dl/pos).
+                 Fastest when the shuffle is loopback/tmpfs (measured on
+                 this box: varint costs more CPU than the memcpy it
+                 saves — BENCH.md §5).
+      "varint" — per-run-restart delta+varint, the SAME wire format
+                 decode_block_rows/decode_positions_rows read (~4 B per
+                 posting and ~1 B per token instead of 16 B + 4 B). The
+                 right choice when the exchange crosses a real network:
+                 a 1000-executor cluster shuffles 4× fewer bytes.
+    """
     from itertools import chain
 
     from nexlt_spark.analysis import ANALYZERS
@@ -159,27 +176,30 @@ def _emit_packed(
             starts = np.concatenate(([0], cut))
             ends = np.concatenate((cut, [len(fuse)]))
             terms_arr = np.asarray(uniques, dtype=object)
-            # delta+varint the runs AT EMIT (same wire format decode_block_rows
-            # reads: per-run restart, first docID absolute). The emit→encode
-            # exchange then moves ~4 B/posting instead of 16 B raw — shuffle
-            # write+read traffic is the dominant cost of the encode phase at
-            # scale, and compressing before the exchange is 4× less of it.
-            deltas = np.empty_like(p_doc)
-            if len(p_doc):
-                deltas[0] = p_doc[0]
-                np.subtract(p_doc[1:], p_doc[:-1], out=deltas[1:])
-                deltas[starts] = p_doc[starts]
-            buf_ids, off_ids = _varint_encode_with_offsets(deltas)
-            buf_tfs, off_tfs = _varint_encode_with_offsets(p_tf)
-            buf_dls, off_dls = _varint_encode_with_offsets(p_dl)
+            if wire == "varint":
+                deltas = np.empty_like(p_doc)
+                if len(p_doc):
+                    deltas[0] = p_doc[0]
+                    np.subtract(p_doc[1:], p_doc[:-1], out=deltas[1:])
+                    deltas[starts] = p_doc[starts]
+                buf_ids, off_ids = _varint_encode_with_offsets(deltas)
+                buf_tfs, off_tfs = _varint_encode_with_offsets(p_tf)
+                buf_dls, off_dls = _varint_encode_with_offsets(p_dl)
+                enc_ids = [bytes(buf_ids[off_ids[s] : off_ids[e]]) for s, e in zip(starts, ends)]
+                enc_tfs = [bytes(buf_tfs[off_tfs[s] : off_tfs[e]]) for s, e in zip(starts, ends)]
+                enc_dls = [bytes(buf_dls[off_dls[s] : off_dls[e]]) for s, e in zip(starts, ends)]
+            else:
+                enc_ids = [p_doc[s:e].tobytes() for s, e in zip(starts, ends)]
+                enc_tfs = [p_tf[s:e].tobytes() for s, e in zip(starts, ends)]
+                enc_dls = [p_dl[s:e].tobytes() for s, e in zip(starts, ends)]
             rows = {
                 "term": terms_arr[p_term[starts]],
                 "rsalt": p_rsalt[starts].astype(np.int64),
                 "n": (ends - starts).astype(np.int32),
                 "sum_dl": np.zeros(len(starts), dtype=np.int64),
-                "doc_ids": [bytes(buf_ids[off_ids[s] : off_ids[e]]) for s, e in zip(starts, ends)],
-                "tfs": [bytes(buf_tfs[off_tfs[s] : off_tfs[e]]) for s, e in zip(starts, ends)],
-                "dls": [bytes(buf_dls[off_dls[s] : off_dls[e]]) for s, e in zip(starts, ends)],
+                "doc_ids": enc_ids,
+                "tfs": enc_tfs,
+                "dls": enc_dls,
             }
             if positions:
                 # reorder the token stream to the fuse (term, rsalt)
@@ -193,29 +213,41 @@ def _emit_packed(
                 pos_final = pos_by_posting[tok_new].astype(np.int64)
                 tok_bounds = np.zeros(npost + 1, dtype=np.int64)
                 np.cumsum(p_tf.astype(np.int64), out=tok_bounds[1:])
-                # same per-posting-restart delta+varint wire format as the
-                # final store (decode_positions_rows reads it): ~1 B/token
-                # over the exchange instead of 4 B raw
-                pdel = np.empty_like(pos_final)
-                if len(pos_final):
-                    pdel[0] = pos_final[0]
-                    np.subtract(pos_final[1:], pos_final[:-1], out=pdel[1:])
-                    pdel[tok_bounds[:-1]] = pos_final[tok_bounds[:-1]]
-                buf_pos, off_pos = _varint_encode_with_offsets(pdel)
-                rows["pos"] = [
-                    bytes(buf_pos[off_pos[tok_bounds[s]] : off_pos[tok_bounds[e]]])
-                    for s, e in zip(starts, ends)
-                ]
+                if wire == "varint":
+                    # per-posting-restart delta+varint — what
+                    # decode_positions_rows reads: ~1 B/token on the wire
+                    pdel = np.empty_like(pos_final)
+                    if len(pos_final):
+                        pdel[0] = pos_final[0]
+                        np.subtract(pos_final[1:], pos_final[:-1], out=pdel[1:])
+                        pdel[tok_bounds[:-1]] = pos_final[tok_bounds[:-1]]
+                    buf_pos, off_pos = _varint_encode_with_offsets(pdel)
+                    rows["pos"] = [
+                        bytes(buf_pos[off_pos[tok_bounds[s]] : off_pos[tok_bounds[e]]])
+                        for s, e in zip(starts, ends)
+                    ]
+                else:
+                    pos32 = pos_final.astype(np.int32)
+                    rows["pos"] = [
+                        pos32[tok_bounds[s] : tok_bounds[e]].tobytes()
+                        for s, e in zip(starts, ends)
+                    ]
             yield pd.concat([sent, pd.DataFrame(rows)], ignore_index=True)
 
     return emit
 
 
-def _encode_packed(avgdl: float, block_size: int = BLOCK_SIZE, positions: bool = False):
+def _encode_packed(
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+    positions: bool = False,
+    wire: str = "raw",
+):
     """applyInPandas kernel: (term, rsalt) group of packed runs → block rows.
 
     The groupBy-term applyInPandas merge of partial posting runs
-    (north_star wording), on arrays instead of rows.
+    (north_star wording), on arrays instead of rows. `wire` must match
+    the emit side (_emit_packed).
     """
     from nexlt_spark.index.codec import (
         decode_block_rows,
@@ -225,15 +257,20 @@ def _encode_packed(avgdl: float, block_size: int = BLOCK_SIZE, positions: bool =
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         ns = pdf["n"].to_numpy(np.int64)
-        _, uids, utfs, udls = decode_block_rows(
-            [bytes(x) for x in pdf["doc_ids"]],
-            [bytes(x) for x in pdf["tfs"]],
-            [bytes(x) for x in pdf["dls"]],
-            ns,
-        )
-        ids = uids.astype(np.int64)
-        tfs = utfs.astype(np.int32)
-        dls = udls.astype(np.int32)
+        if wire == "varint":
+            _, uids, utfs, udls = decode_block_rows(
+                [bytes(x) for x in pdf["doc_ids"]],
+                [bytes(x) for x in pdf["tfs"]],
+                [bytes(x) for x in pdf["dls"]],
+                ns,
+            )
+            ids = uids.astype(np.int64)
+            tfs = utfs.astype(np.int32)
+            dls = udls.astype(np.int32)
+        else:
+            ids = np.frombuffer(b"".join(pdf["doc_ids"]), dtype=np.int64)
+            tfs = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.int32)
+            dls = np.frombuffer(b"".join(pdf["dls"]), dtype=np.int32)
         # merge runs: each run arrives docID-ascending and runs from
         # different batches cover disjoint doc spans (flatten assigns
         # contiguous docIDs per partition), so ordering runs by first
@@ -261,7 +298,10 @@ def _encode_packed(avgdl: float, block_size: int = BLOCK_SIZE, positions: bool =
             order = np.argsort(ids, kind="stable")
         if positions:
             tfs64 = tfs.astype(np.int64)
-            pos_flat = decode_positions_rows([bytes(x) for x in pdf["pos"]], tfs64)
+            if wire == "varint":
+                pos_flat = decode_positions_rows([bytes(x) for x in pdf["pos"]], tfs64)
+            else:
+                pos_flat = np.frombuffer(b"".join(pdf["pos"]), dtype=np.int32)
             if order is None:
                 pos_sorted = pos_flat.astype(np.int64)
             else:
@@ -325,6 +365,7 @@ def build_blocked_direct(
     block_size: int = BLOCK_SIZE,
     persist_packed: bool = True,
     positions: bool = False,
+    wire: str = "raw",
 ) -> BlockedIndex:
     """documents → BlockedIndex in one packed pipeline (the scale path).
 
@@ -333,9 +374,12 @@ def build_blocked_direct(
     the difference (asserted in tests/test_packed.py). positions=True
     threads per-posting token offsets through the packed runs into the
     per-block position payloads (phrase queries off the packed store).
+    wire="varint" compresses the run payloads BEFORE the emit→encode
+    exchange (see _emit_packed — choose it when the shuffle crosses a
+    real network; raw wins on loopback/tmpfs shuffles).
     """
     packed = documents.select(doc_id_col, text_col).mapInPandas(
-        _emit_packed(doc_id_col, text_col, analyzer, range_shift, positions),
+        _emit_packed(doc_id_col, text_col, analyzer, range_shift, positions, wire),
         schema=PACKED_SCHEMA_POS if positions else PACKED_SCHEMA,
     )
     if persist_packed:
@@ -355,7 +399,7 @@ def build_blocked_direct(
     from nexlt_spark.index.blocks import BLOCKS_SCHEMA_POS
 
     blocks = posts.groupBy("term", "rsalt").applyInPandas(
-        _encode_packed(stats.avgdl, block_size, positions),
+        _encode_packed(stats.avgdl, block_size, positions, wire),
         schema=BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA,
     )
     return BlockedIndex(

@@ -1,2 +1,3 @@
 from nexlt_spark.query.model import Query, QueryFilters  # noqa: F401
 from nexlt_spark.query.exact import bm25_topk, run_query  # noqa: F401
+from nexlt_spark.query.planner import choose_topk_path, topk  # noqa: F401

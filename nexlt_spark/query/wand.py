@@ -125,15 +125,24 @@ def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: Optional[dict] =
     return b
 
 
+# per-term block-ub quantile grid kept in the metadata cache — the
+# planner's histogram of how block upper bounds distribute within a term
+META_QUANTS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
 def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
-    """(df, max_tfnorm) per present query term — ONE metadata-only job
-    for cache misses, memoized on the index object.
+    """(df, max_tfnorm, n_blocks, tfnorm_quantiles) per present query
+    term — ONE metadata-only job for cache misses, memoized on the index
+    object.
 
     Replaces two separate driver jobs (term_stats collect + per-term
-    groupBy(max(ub)) collect): both df (Σ block n) and the per-term
-    global max tfnorm come from the same block-metadata aggregate, and
-    repeated queries against the same index skip the job entirely (the
-    Lucene TermStates/collection-statistics cache analog).
+    groupBy(max(ub)) collect): df (Σ block n), the per-term global max
+    tfnorm, the block count, and the block-max-tfnorm quantile sketch all
+    come from the same block-metadata aggregate, and repeated queries
+    against the same index skip the job entirely (the Lucene
+    TermStates/collection-statistics cache analog). The quantile sketch
+    feeds the driver-side WAND-vs-exact planner (query.planner) with an
+    estimate of how many blocks a θ cut would keep — no postings touched.
     """
     cache = getattr(bidx, "_term_meta_cache", None)
     if cache is None:
@@ -144,10 +153,20 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
         rows = (
             _query_blocks(bidx, missing)
             .groupBy("term")
-            .agg(F.sum("n").cast("long").alias("df"), F.max("max_tfnorm").alias("mtf"))
+            .agg(
+                F.sum("n").cast("long").alias("df"),
+                F.max("max_tfnorm").alias("mtf"),
+                F.count(F.lit(1)).alias("nb"),
+                F.percentile_approx(
+                    "max_tfnorm", F.array(*[F.lit(q) for q in META_QUANTS]), 1000
+                ).alias("qs"),
+            )
             .collect()
         )
-        found = {r["term"]: (int(r["df"]), float(r["mtf"])) for r in rows}
+        found = {
+            r["term"]: (int(r["df"]), float(r["mtf"]), int(r["nb"]), tuple(r["qs"]))
+            for r in rows
+        }
         for t in missing:
             cache[t] = found.get(t)  # None = absent from the index
     return {t: cache[t] for t in qterms if cache.get(t) is not None}

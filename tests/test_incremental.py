@@ -129,6 +129,60 @@ def test_compact_preserves_everything(spark, inc_path, expected, tmp_path_factor
     ) == sorted(tuple(r) for r in pre.select("doc_id", "doc_key").collect())
 
 
+@pytest.fixture(scope="module")
+def inc_pos_path(spark, batches, tmp_path_factory):
+    """Same two batches ingested with positions=True (phrase-capable)."""
+    path = str(tmp_path_factory.mktemp("inc_pos"))
+    b1, b2 = batches
+    ingest_batch(b1, path, build_id="b1", positions=True)
+    ingest_batch(b2, path, build_id="b2", positions=True)
+    return path
+
+
+def test_live_blocked_index_serves_fused_plans(spark, inc_pos_path, expected):
+    """The incremental store reopened as a ranged BlockedIndex must be
+    rank-identical to the from-scratch build on every serving plan:
+    per-range fused BM25, WAND, and in-kernel phrase."""
+    from nexlt_spark.index.incremental import live_blocked_index
+    from nexlt_spark.query.ranged import phrase_score_ranged
+    from nexlt_spark.query.wand import wand_topk
+
+    docs_exp, idx_exp = expected
+    live_docs = live_documents(spark, inc_pos_path).persist()
+    bidx = live_blocked_index(spark, inc_pos_path, range_shift=6)
+    bidx.blocks = bidx.blocks.persist()
+    assert bidx.ranged and bidx.has_positions
+
+    def keyed_topk(scored, d, k=10):
+        keyed = scored.join(d.select("doc_id", "doc_key"), "doc_id")
+        return [
+            (r["doc_key"], round(r["score"], 9))
+            for r in keyed.orderBy(F.col("score").desc(), F.col("doc_key").asc())
+            .limit(k)
+            .collect()
+        ]
+
+    for terms, mode in [(["updated", "v2"], "and"), (["the", "error"], "or")]:
+        got = keyed_topk(score_postings(bidx, terms, mode), live_docs)
+        want = keyed_topk(score_postings(idx_exp, terms, mode), docs_exp)
+        assert got == want, (terms, mode)
+        got_w = keyed_topk(wand_topk(bidx, terms, k=10, mode=mode), live_docs)
+        assert got_w == want, ("wand", terms, mode)
+
+    # phrase: every batch-2 overlap doc starts with "updated v2"
+    got_p = keyed_topk(phrase_score_ranged(bidx, ["updated", "v2"]), live_docs, k=5)
+    assert len(got_p) == 5
+    texts = {r["doc_key"]: r["text"] for r in live_docs.collect()}
+    for dk, _ in got_p:
+        assert "updated v2" in texts[dk].lower()
+
+
+def test_positions_mismatch_refused(spark, inc_pos_path, batches):
+    b1, _ = batches
+    with pytest.raises(ValueError, match="positions"):
+        ingest_batch(b1, inc_pos_path, positions=False)
+
+
 def test_empty_batch_is_noop(spark, inc_path):
     n_before = len(batches_done(inc_path))
     empty = synth_transcripts(spark, n_convs=10, seed=7).where(F.lit(False))

@@ -124,6 +124,14 @@ def main() -> None:
 
             tw = _median_time(run_wand, args.repeats)
             te = _median_time(run_exact, args.repeats)
+            from nexlt_spark.query.planner import (
+                choose_topk_path,
+                estimate_kept_fraction,
+            )
+
+            decision = choose_topk_path(bidx, terms, 10, mode)
+            kf = estimate_kept_fraction(bidx, terms)
+            faster = "wand" if tw < te else "exact"
             row = {
                 "corpus": cname,
                 "vocab": ckw["vocab_size"],
@@ -138,6 +146,9 @@ def main() -> None:
                 "blocks_kept": stats.get("blocks_kept"),
                 "n_candidates": stats.get("n_candidates"),
                 "fallback": stats.get("fallback"),
+                "planner_choice": decision,
+                "est_kept_fraction": round(kf, 4) if kf is not None else None,
+                "planner_agrees_with_faster": decision == faster,
             }
             results.append(row)
             print(json.dumps(row), file=sys.stderr)

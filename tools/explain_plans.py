@@ -154,6 +154,59 @@ def main() -> None:
         )
     )
 
+    # 7-9. packed ranged store: the serving plans. Saved + reloaded so the
+    # parquet scan (bucket pruning, term pushdown) is part of the plan.
+    from nexlt_spark.index.blocks import load_blocked_index
+    from nexlt_spark.index.packed import build_blocked_direct, save_blocked
+    from nexlt_spark.query.exact import paginate, score_postings
+    from nexlt_spark.query.ranged import phrase_score_ranged
+    from nexlt_spark.query.wand import wand_topk
+
+    pstore = tempfile.mkdtemp(prefix="nexlt-plans-packed-")
+    save_blocked(build_blocked_direct(docs, range_shift=8, positions=True), pstore)
+    bidx = load_blocked_index(spark, pstore)
+
+    q8 = paginate(
+        score_postings(bidx, ["spark", "join"], "and", per_range_limit=10),
+        [F.col("score").desc(), F.col("doc_id").asc()], 0, 10,
+    )
+    sections.append(
+        (
+            "Per-range fused BM25 (ranged store): one grouped kernel, block bytes only",
+            plan_text(q8),
+            # decode+score+arity live in ONE FlatMapGroupsInPandas after a
+            # single rsalt exchange of compressed block rows; top-k is a
+            # per-partition heap; the term filter reaches the parquet scan
+            ["FlatMapGroupsInPandas", "TakeOrderedAndProject", "PushedFilters"],
+            # no tokenizer pass, no posting-row shuffle joins
+            ["MapInPandas", "ArrowEvalPython", "SortMergeJoin", "CartesianProduct"],
+        )
+    )
+
+    q9 = paginate(
+        phrase_score_ranged(bidx, ["table", "part"], limit=10),
+        [F.col("score").desc(), F.col("doc_id").asc()], 0, 10,
+    )
+    sections.append(
+        (
+            "Fused phrase on the ranged store: adjacency + scoring in-kernel (Q2)",
+            plan_text(q9),
+            ["FlatMapGroupsInPandas", "TakeOrderedAndProject", "PushedFilters"],
+            # positions never leave the kernel; documents.text never read
+            ["MapInPandas", "ArrowEvalPython", "SortMergeJoin", "Join"],
+        )
+    )
+
+    q10 = wand_topk(bidx, ["spark", "join"], k=10, mode="or")
+    sections.append(
+        (
+            "WAND rescore on the ranged store (candidate-masked kernel)",
+            plan_text(q10),
+            ["FlatMapGroupsInPandas", "TakeOrderedAndProject"],
+            ["MapInPandas", "ArrowEvalPython", "SortMergeJoin"],
+        )
+    )
+
     failures: list[str] = []
     out_lines = [
         "# PLANS — physical-plan evidence (`.explain(\"formatted\")`)",
