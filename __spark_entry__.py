@@ -267,6 +267,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parsed_query_filtered"] = lambda s, d: _parsed(s, d, "value AND lang:en")
     q["parsed_query_phrase"] = lambda s, d: _parsed(s, d, '"table part"')
 
+    def _select_handler(s, d):  # the full /select request shape (query.select)
+        from nexlt_spark.query.select import select
+
+        resp = select(
+            _index(s, d), _docs(s, d), q="value", fq=["lang:en"], rows=10
+        )
+        return resp.docs.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["select_handler"] = _select_handler
+
     def _realtime_get(s, d):  # S10 /get point lookup by id
         return _docs(s, d).where(F.col("doc_id") == 42).select("doc_id", "lang", "source", "text")
 
@@ -570,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
     o["parsed_query_and"] = o["bm25_multi_and"]
     o["parsed_query_not"] = o["bm25_not"]
     o["parsed_query_filtered"] = o["bm25_filtered"]
+    o["select_handler"] = o["bm25_filtered"]
     o["parsed_query_phrase"] = o["bm25_phrase"]
     o["bm25_wand_or"] = _sql_bm25_2("spark", "join", "or")
     o["bm25_planned_or"] = _sql_bm25_2("spark", "join", "or")

@@ -34,6 +34,7 @@ from nexlt_spark.index.packed import build_blocked_direct
 from nexlt_spark.query.exact import bm25_topk, paginate, run_query, score_postings
 from nexlt_spark.query.ranged import phrase_score_ranged
 from nexlt_spark.query.model import Query, QueryFilters
+from nexlt_spark.query.planner import topk as planner_topk
 from nexlt_spark.query.wand import wand_topk
 from nexlt_spark.synth import synth_transcripts
 from nexlt_spark.ops import dedup, minhash, similarity, textstats
@@ -122,6 +123,11 @@ def main():
         "q_ranged_phrase": lambda: paginate(
             phrase_score_ranged(bidx, ["the", "run"], limit=10),
             [F.col("score").desc(), F.col("doc_id").asc()], 0, 10,
+        ).collect(),
+        # cost-based routing (query/planner.py): decision from cached term
+        # metadata, zero planning jobs once warm — measures routed latency
+        "q_planned_or": lambda: planner_topk(
+            bidx, ["spark", "index", "merge"], k=10, mode="or"
         ).collect(),
     }
 

@@ -1,0 +1,255 @@
+"""Solr ``/select`` handler facade — the reference's full request shape.
+
+Every NeXLT surface ultimately issues one HTTP request shape against
+Solr's ``/select`` handler (solrconfig.xml:843-880): a raw ``q`` string,
+zero or more non-scoring ``fq`` filters, ``start``/``rows`` pagination,
+``sort``, ``fl`` projection, the three facet modes
+(web/nexlt/ajax-solr/widgets/AbstractFacetWidget.js:43-91) and
+highlighting (solrconfig.xml:1144-1244). The ajax-solr UI composes it
+from widgets (web/nexlt/jslib/solrTestLib_v2.js:38-102), the legacy CGIs
+assemble it as strings (CGI/parallel.cgi:135-157, CGI/corpus.cgi:326-339).
+
+``select()`` is that request against this engine: parse the raw strings
+(query.parser), merge ``fq`` constraints into the non-scoring filter
+slots, rank/paginate via the exact serving plans (query.exact — fused
+per-range kernels on ranged stores), facet the *constrained* document
+set (query.facets — Solr facets count q∧fq matches, not the page), and
+highlight the returned page (query.enrich). Everything stays a lazy
+DataFrame; nothing is collected on behalf of the caller.
+
+Semantics pinned to Solr where they differ from naive composition:
+
+- ``fq`` is conjunctive and NON-SCORING: a filter never changes a
+  surviving doc's BM25 score (Lucene filter clauses score 0). Raw fq
+  strings must therefore be filter-shaped — field:value(s), ranges,
+  existence, or a default-field phrase (the UI's ``fq enu:"…"`` text
+  filter, solrTestLib_v2.js:43,53). A bare scored term inside fq has no
+  non-scoring analog in the flat model and raises, rather than silently
+  perturbing scores.
+- facet counts are computed over ALL docs matching q∧fq (one scan with
+  a map-side-combined aggregate per facet call — the Solr filterCache
+  analog is Catalyst reusing the cached/persisted index DataFrames).
+- ``hl`` highlights only the returned page (k rows), never the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nexlt_spark.analysis import tokenize
+from nexlt_spark.query.enrich import expand_synonyms, highlight
+from nexlt_spark.query.exact import (
+    analyze_terms,
+    filter_documents,
+    prohibited_docs,
+    run_query,
+    score_postings,
+)
+from nexlt_spark.query.facets import (
+    facet_field_counts,
+    facet_query_counts,
+    facet_range_counts,
+)
+from nexlt_spark.query.model import Query
+from nexlt_spark.query.parser import QueryParseError, parse_query
+
+
+@dataclass
+class SelectResponse:
+    """The /select response, transposed: DataFrames instead of JSON.
+
+    docs          — the requested page (start/rows applied), fl-projected,
+                    in rank (or sort) order; ``snippet`` column when hl.
+    num_found     — total q∧fq match count, populated iff rows=… request
+                    asked for it (compute_num_found) — a separate count
+                    job in Spark, unlike Solr where it falls out of the
+                    collector, so it is opt-in.
+    facet_fields  — field → (value, n) DataFrame.
+    facet_queries — (facet, n) DataFrame (one row per named predicate).
+    facet_ranges  — col → (bucket_start, n) DataFrame.
+    """
+
+    docs: DataFrame
+    num_found: Optional[int] = None
+    facet_fields: Dict[str, DataFrame] = field(default_factory=dict)
+    facet_queries: Optional[DataFrame] = None
+    facet_ranges: Dict[str, DataFrame] = field(default_factory=dict)
+
+
+def _merge_fq(base: Query, fq_parsed: Query) -> None:
+    """Fold one parsed fq string's constraints into ``base`` in place.
+
+    Accepts only non-scoring shapes (see module docstring); the phrase
+    slot is single-occupancy in the flat model, as in the reference UI
+    (one text filter widget).
+    """
+    if fq_parsed.terms:
+        raise QueryParseError(
+            "fq must be non-scoring (field:value, range, existence or a "
+            f"quoted phrase); got scored term(s) {fq_parsed.terms!r}"
+        )
+    if fq_parsed.not_terms:
+        base.not_terms = sorted(set(base.not_terms or []) | set(fq_parsed.not_terms))
+    if fq_parsed.phrase:
+        if base.phrase is not None and base.phrase != fq_parsed.phrase:
+            raise QueryParseError("multiple phrase filters are not supported")
+        base.phrase = fq_parsed.phrase
+    if fq_parsed.exists:
+        base.exists = True
+    bf, ff = base.filters, fq_parsed.filters
+
+    def _conj(cur: Optional[Sequence[str]], new: Optional[Sequence[str]]):
+        # conjunction of two disjunctive value lists = intersection; a
+        # contradictory conjunction must match NOTHING, not drop the
+        # constraint (empty list is falsy to filter_documents), so it
+        # pins an impossible sentinel value
+        if not new:
+            return cur
+        out = sorted(set(cur) & set(new)) if cur else sorted(set(new))
+        return out or ["\x00__nexlt_contradiction__"]
+
+    bf.roles = _conj(bf.roles, ff.roles)
+    bf.tools = _conj(bf.tools, ff.tools)
+    bf.conv_ids = _conj(bf.conv_ids, ff.conv_ids)
+    if ff.ts_from is not None:
+        bf.ts_from = max(bf.ts_from, ff.ts_from) if bf.ts_from else ff.ts_from
+    if ff.ts_to is not None:
+        bf.ts_to = min(bf.ts_to, ff.ts_to) if bf.ts_to else ff.ts_to
+    if ff.fields:
+        merged = dict(bf.fields or {})
+        for col, vals in ff.fields.items():
+            merged[col] = _conj(merged.get(col), vals)
+        bf.fields = merged
+
+
+def parse_request(
+    q: str,
+    fq: Sequence[str] = (),
+    start: int = 0,
+    rows: int = 10,
+    sort: Optional[List[Tuple[str, str]]] = None,
+    fl: Optional[List[str]] = None,
+    default_field: str = "text",
+    synonyms: Optional[Dict[str, List[str]]] = None,
+    analyzer: str = "standard",
+) -> Query:
+    """Raw request strings → one logical Query (q parsed scored, each fq
+    parsed and merged non-scoring, synonyms expanded query-side)."""
+    query = parse_query(q, default_field=default_field, k=rows, start=start,
+                        sort=sort, fl=fl)
+    for f_str in fq:
+        _merge_fq(query, parse_query(f_str, default_field=default_field))
+    if synonyms and query.terms:
+        query.terms = expand_synonyms(analyze_terms(query.terms, analyzer), synonyms)
+        if query.mode == "and" and len(query.terms) > 1:
+            # Solr's query-side expansion turns each term into an OR of
+            # its class INSIDE the conjunction; the flat model cannot nest,
+            # so expansion under AND is refused rather than silently
+            # changing semantics (the reference UI only expands OR text
+            # queries — schema.xml:210,245,297 are query-side chains on
+            # free-text fields).
+            raise QueryParseError("synonym expansion inside AND is not supported")
+    return query
+
+
+def matching_docs(index, documents: DataFrame, query: Query) -> DataFrame:
+    """All documents matching q∧fq (the set Solr facets/numFound count).
+
+    One left-semi against the scored postings (no score materialized);
+    filters push down to the documents scan.
+    """
+    an = getattr(index, "analyzer", "standard")
+    base = filter_documents(documents, query.filters, query.exists)
+    if query.not_terms:
+        excl = prohibited_docs(index, query.not_terms, an)
+        if excl is not None:
+            base = base.join(excl, "doc_id", "left_anti")
+    terms = analyze_terms(query.terms, an)
+    ptoks = tokenize(query.phrase, an) if query.phrase else []
+    # a phrase conjoins with any scored terms (bm25_topk forces AND when
+    # a phrase is present — the fq-phrase is a mandatory filter)
+    if query.phrase and getattr(index, "has_positions", False) and getattr(index, "ranged", False):
+        from nexlt_spark.query.ranged import phrase_score_ranged
+
+        matched = phrase_score_ranged(index, ptoks)
+        if terms and set(terms) - set(ptoks):
+            extra = score_postings(index, terms, "and", base.select("doc_id"))
+            matched = matched.join(extra.select("doc_id"), "doc_id", "left_semi")
+        return base.join(matched.select("doc_id"), "doc_id", "left_semi")
+    if query.phrase:
+        from nexlt_spark.query.exact import phrase_docs
+
+        pd_ = phrase_docs(index, documents, ptoks, an, base.select("doc_id"))
+        base = base.join(pd_, "doc_id", "left_semi")
+        terms = [t for t in terms if t not in ptoks] or []
+        if not terms:
+            return base
+        mode = "and"
+    else:
+        mode = query.mode
+    if terms:
+        scored = score_postings(index, terms, mode, base.select("doc_id"))
+        base = base.join(scored.select("doc_id"), "doc_id", "left_semi")
+    return base
+
+
+def select(
+    index,
+    documents: DataFrame,
+    q: str = "*:*",
+    fq: Sequence[str] = (),
+    start: int = 0,
+    rows: int = 10,
+    sort: Optional[List[Tuple[str, str]]] = None,
+    fl: Optional[List[str]] = None,
+    default_field: str = "text",
+    synonyms: Optional[Dict[str, List[str]]] = None,
+    facet_field: Sequence[str] = (),
+    facet_query: Optional[Dict[str, Union[Column, str]]] = None,
+    facet_range: Optional[Dict[str, Tuple[float, float, float]]] = None,
+    hl: bool = False,
+    hl_fragsize: int = 100,
+    compute_num_found: bool = False,
+) -> SelectResponse:
+    """The /select request against a built index + its documents table.
+
+    Returns lazy DataFrames throughout; see SelectResponse. The page
+    itself takes the engine's serving plans (fused per-range kernels on
+    ranged stores, TakeOrderedAndProject top-k) via run_query.
+    """
+    an = getattr(index, "analyzer", "standard")
+    query = parse_request(
+        q, fq, start=start, rows=rows, sort=sort, fl=fl,
+        default_field=default_field, synonyms=synonyms, analyzer=an,
+    )
+
+    page = run_query(index, documents, query)
+    if hl:
+        hl_terms = list(analyze_terms(query.terms, an))
+        if query.phrase:
+            hl_terms += [t for t in tokenize(query.phrase, an) if t not in hl_terms]
+        page = highlight(page, hl_terms, fragsize=hl_fragsize)
+
+    resp = SelectResponse(docs=page)
+
+    need_matches = bool(facet_field) or facet_query or facet_range or compute_num_found
+    if need_matches:
+        matches = matching_docs(index, documents, query)
+        if compute_num_found:
+            resp.num_found = matches.count()
+        for fld in facet_field:
+            resp.facet_fields[fld] = facet_field_counts(matches, fld)
+        if facet_query:
+            preds = {
+                name: (F.expr(p) if isinstance(p, str) else p)
+                for name, p in facet_query.items()
+            }
+            resp.facet_queries = facet_query_counts(matches, preds)
+        if facet_range:
+            for col, (lo, hi, gap) in facet_range.items():
+                resp.facet_ranges[col] = facet_range_counts(matches, col, lo, hi, gap)
+    return resp

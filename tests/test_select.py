@@ -1,0 +1,133 @@
+"""/select facade: raw request strings → same plans as the structured API.
+
+select() may only ever re-express run_query/facets/highlight — every test
+pins facade output to the equivalent structured call, plus the Solr
+semantics the module docstring promises (non-scoring fq, q∧fq facet
+domain, contradictory fq matches nothing).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexlt_spark.query.exact import filter_documents, run_query
+from nexlt_spark.query.model import Query, QueryFilters
+from nexlt_spark.query.parser import QueryParseError
+from nexlt_spark.query.select import matching_docs, parse_request, select
+
+
+def rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+def test_page_matches_structured_query(index, documents):
+    got = select(index, documents, q="error", fq=["role:user"], rows=10).docs
+    want = run_query(
+        index, documents, Query(terms=["error"], filters=QueryFilters(roles=["user"]), k=10)
+    )
+    assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
+
+
+def test_fq_phrase_is_nonscoring_filter(pos_index, documents):
+    got = select(pos_index, documents, q="error", fq=['"the run"'], rows=10).docs
+    want = run_query(pos_index, documents, Query(terms=["error"], phrase="the run", k=10))
+    assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
+
+
+def test_fq_scored_term_raises(index, documents):
+    with pytest.raises(QueryParseError, match="non-scoring"):
+        select(index, documents, q="error", fq=["somebareterm"])
+
+
+def test_and_or_and_not_via_raw_q(index, documents):
+    got = select(index, documents, q="run AND file -error", rows=10).docs
+    want = run_query(
+        index, documents,
+        Query(terms=["run", "file"], mode="and", not_terms=["error"], k=10),
+    )
+    assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
+
+
+def test_conjunctive_fq_intersection(index, documents):
+    q = parse_request("data", fq=["role:(user OR assistant)", "role:user"])
+    assert q.filters.roles == ["user"]
+
+
+def test_contradictory_fq_matches_nothing(index, documents):
+    resp = select(
+        index, documents, q="data", fq=["role:user", "role:assistant"],
+        compute_num_found=True,
+    )
+    assert resp.num_found == 0
+    assert resp.docs.count() == 0
+
+
+def test_num_found_counts_matches_not_page(index, documents):
+    resp = select(index, documents, q="data", rows=3, compute_num_found=True)
+    want = run_query(index, documents, Query(terms=["data"], count_only=True)).collect()[0][
+        "num_found"
+    ]
+    assert resp.num_found == want
+    assert resp.docs.count() == min(3, want)
+
+
+def test_facet_field_counts_over_match_domain(index, documents):
+    resp = select(index, documents, q="data", facet_field=["role"])
+    matches = matching_docs(index, documents, parse_request("data"))
+    want = sorted(
+        (r["role"], r["n"])
+        for r in matches.groupBy("role").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    got = sorted(rows(resp.facet_fields["role"], "role", "n"))
+    assert got == want and sum(n for _, n in got) > 0
+
+
+def test_facet_query_and_range(index, documents):
+    resp = select(
+        index, documents, q="*:*",
+        facet_query={"user_docs": "role = 'user'", "long": F.length("text") > 200},
+        facet_range={"turn_idx": (0.0, 30.0, 10.0)},
+    )
+    fq = dict(rows(resp.facet_queries, "facet", "n"))
+    base = filter_documents(documents, QueryFilters())
+    assert fq["user_docs"] == base.where("role = 'user'").count()
+    assert fq["long"] == base.where(F.length("text") > 200).count()
+    fr = rows(resp.facet_ranges["turn_idx"], "bucket_start", "n")
+    assert [b for b, _ in fr] == [0.0, 10.0, 20.0]
+    assert sum(n for _, n in fr) == base.where("turn_idx >= 0 and turn_idx < 30").count()
+
+
+def test_highlight_on_page_only(index, documents):
+    resp = select(index, documents, q="error", rows=5, hl=True)
+    got = resp.docs.collect()
+    assert 0 < len(got) <= 5
+    assert any("<em>" in r["snippet"] for r in got)
+
+
+def test_sort_path(index, documents):
+    got = select(index, documents, q="table", sort=[("text_lc", "asc")], rows=20).docs
+    want = run_query(index, documents, Query(terms=["table"], sort=[("text_lc", "asc")], k=20))
+    assert rows(got, "doc_id") == rows(want, "doc_id")
+
+
+def test_synonyms_expand_under_or(index, documents):
+    syn = {"mistake": ["error"]}
+    got = select(index, documents, q="mistake", synonyms=syn, rows=10).docs
+    want = run_query(index, documents, Query(terms=["error"], k=10))
+    assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
+
+
+def test_synonyms_under_and_refused(index, documents):
+    with pytest.raises(QueryParseError, match="AND"):
+        select(index, documents, q="mistake AND file", synonyms={"mistake": ["error"]})
+
+
+def test_match_all_with_fq_only(index, documents):
+    resp = select(index, documents, q="*:*", fq=["role:user"], rows=7,
+                  compute_num_found=True)
+    base = filter_documents(documents, QueryFilters(roles=["user"]))
+    assert resp.num_found == base.count()
+    assert resp.docs.count() == 7
+    # pure-filter page is deterministic doc_id order
+    assert rows(resp.docs, "doc_id") == rows(
+        base.orderBy("doc_id").limit(7).select("doc_id")
+    , "doc_id")
