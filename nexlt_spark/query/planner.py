@@ -2,33 +2,44 @@
 
 The reference's Lucene picks between exhaustive scoring and BMW pruning
 per query (IndexSearcher's TopScoreDocCollector enables WAND exactly
-when ranks alone are needed); which one is faster depends on how much a
-θ threshold actually prunes. On this engine the trade is starker
-because WAND pays fixed driver orchestration (a θ-probe job plus a
-candidate collect) that the exact per-range plan (query.ranged) never
-pays — measured in tools/bench_wand_crossover.py, exact wins whenever
-θ keeps most blocks alive, WAND wins when the kept-block fraction is
-small (rare high-idf terms mixed with common ones).
+when ranks alone are needed); which one is faster depends on whether the
+decode work pruning saves exceeds pruning's own overhead. On this engine
+the trade is measurable and stark (tools/bench_wand_crossover.py, 2.25M
+docs, narrow + Zipf vocabularies, every shape × both paths):
 
-This module decides from CACHED collection statistics only — the
-(df, max_tfnorm, n_blocks, block-ub quantile sketch) per term that
-query.wand._term_meta memoizes on the index (one metadata-only Spark
-job per new term, the Lucene TermStates analog). No postings are read
-and no extra job runs to plan.
+- the exact per-range plan is ONE fused Spark job: ~0.35 s floor plus
+  ~50 ns per decoded posting (≈20M postings/s through the kernel) —
+  4M postings of two Zipf-head terms score in 0.56 s;
+- WAND pays a fixed multi-job orchestration floor — θ-probe job +
+  candidate collect + masked rescore ≈ 1.2-1.5 s regardless of how well
+  it prunes (and ~3.5-4 s when the candidate cap forces fallback).
 
-Estimate: take θ̂ = THETA_FRACTION · Σ_t gm_t — the co-occurrence
-bound: the probe's threshold approaches the sum of per-term maxima
-exactly when top documents contain most query terms at strong tf, which
-is also when BMW pruning actually bites (comparable idfs, plausible
-co-occurrence). A block b of term t survives pruning iff
-ub_b ≥ θ̂ − Σ_{t'≠t} gm_{t'}; per term that cut maps onto the cached
-quantile sketch of block ubs, giving an estimated kept-block fraction
-without touching the store. For extreme idf spreads (one rare term
-dominating), every other term's cut goes negative → kept ≈ 1 → exact:
-correct on this engine, where the exact fused plan reads the rare list
-plus the hot list in one job while WAND pays probe+collect round-trips
-first (tools/bench_wand_crossover.py is the empirical table behind the
-constants).
+So at 10^6-doc scale exact wins EVERY measured shape, and the planner's
+job is mostly to say "exact". WAND earns its floor only when the skipped
+decode volume is tens of millions of postings — index scales where a
+term's list alone is 10^8-10^10 postings (the 100 TB serving case, or
+equivalently when per-executor decode throughput is divided by a much
+larger corpus). The decision is therefore a two-constant cost model,
+not a heuristic: route to WAND iff
+
+    est_postings_saved / DECODE_RATE > WAND_OVERHEAD_SEC
+
+with both constants calibrated by the crossover bench (BENCH.md §6) and
+scale-free inputs (posting counts) from CACHED collection statistics
+only — the (df, max_tfnorm, n_blocks, block-ub quantile sketch) per
+term that query.wand._term_meta memoizes on the index (one metadata-only
+Spark job per new term, the Lucene TermStates analog). No postings are
+read and no extra job runs to plan.
+
+Saved-volume estimate:
+- OR: θ̂ = THETA_FRACTION · Σ_t gm_t (the co-occurrence bound); a block
+  of term t survives iff ub ≥ θ̂ − Σ_{t'≠t} gm_{t'}; stepping that cut
+  through the cached block-ub quantile sketch yields a kept-block
+  fraction, hence kept ≈ frac · df_t postings per term.
+- AND: the rarest list drives; candidate-masked rescore decodes at most
+  one block per (candidate, term), so kept ≤ rare_df · n_terms ·
+  BLOCK_SIZE postings (a deliberate overcount — candidates clustering
+  into shared blocks only reduces it).
 """
 
 from __future__ import annotations
@@ -38,7 +49,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nexlt_spark.index.blocks import BlockedIndex
+from nexlt_spark.index.blocks import BLOCK_SIZE, BlockedIndex
 from nexlt_spark.query.wand import (
     DEFAULT_CANDIDATE_CAP,
     META_QUANTS,
@@ -48,19 +59,21 @@ from nexlt_spark.query.wand import (
 from nexlt_spark.scoring import idf
 
 THETA_FRACTION = 0.8
-# choose WAND only when pruning is estimated to drop >half the blocks;
-# below that, the exact per-range plan's single fused job wins (it has
-# no probe/collect round-trips to amortize)
-KEPT_FRACTION_CUTOFF = 0.5
-# AND conjunctions: drive from the rarest list iff it fits the candidate
-# collect comfortably (same cap wand_topk enforces at run time)
-AND_RARE_DF_CUTOFF = DEFAULT_CANDIDATE_CAP // 2
+# calibrated on tools/bench_wand_crossover.py (BENCH.md §6): the fused
+# kernel decodes+folds ~20M postings/s end-to-end through one Spark job,
+# and WAND's extra driver round-trips cost ~1 s over the exact plan's
+# single job. Both are engine/cluster constants, not data constants —
+# override per deployment if the crossover bench says otherwise there.
+DECODE_RATE_POSTINGS_PER_SEC = 20_000_000
+WAND_OVERHEAD_SEC = 1.0
+# the volume WAND must skip to pay for its orchestration
+BREAK_EVEN_POSTINGS = int(DECODE_RATE_POSTINGS_PER_SEC * WAND_OVERHEAD_SEC)
 
 
 def estimate_kept_fraction(bidx: BlockedIndex, terms: List[str]) -> Optional[float]:
     """Estimated fraction of the query terms' blocks that survive a
-    θ̂ = THETA_FRACTION·max(gm) Block-Max cut. None when no term is
-    present in the index."""
+    θ̂ = THETA_FRACTION·Σgm Block-Max cut. None when no term is present
+    in the index."""
     qterms = sorted(set(terms))
     meta = _term_meta(bidx, qterms)
     if not meta:
@@ -94,6 +107,26 @@ def estimate_kept_fraction(bidx: BlockedIndex, terms: List[str]) -> Optional[flo
     return kept / total if total else None
 
 
+def estimate_postings_saved(
+    bidx: BlockedIndex, terms: List[str], mode: str = "or"
+) -> Optional[int]:
+    """Postings the WAND path would skip decoding vs the exact fused
+    plan, from cached metadata only. None when no term is present."""
+    qterms = sorted(set(terms))
+    meta = _term_meta(bidx, qterms)
+    if not meta:
+        return None
+    total = sum(m[0] for m in meta.values())
+    if mode == "and":
+        rare_df = min(m[0] for m in meta.values())
+        kept = min(total, rare_df * len(meta) * BLOCK_SIZE)
+        return max(0, total - kept)
+    kf = estimate_kept_fraction(bidx, terms)
+    if kf is None:
+        return None
+    return int(total * (1.0 - kf))
+
+
 def choose_topk_path(
     bidx: BlockedIndex, terms: List[str], k: int = 10, mode: str = "or"
 ) -> str:
@@ -108,9 +141,10 @@ def choose_topk_path(
         if len(meta) < len(qterms):
             return "exact"  # empty result; exact short-circuits driver-side
         rare_df = min(m[0] for m in meta.values())
-        return "wand" if rare_df <= AND_RARE_DF_CUTOFF else "exact"
-    kf = estimate_kept_fraction(bidx, terms)
-    return "wand" if kf is not None and kf < KEPT_FRACTION_CUTOFF else "exact"
+        if rare_df > DEFAULT_CANDIDATE_CAP:
+            return "exact"  # candidate collect would overflow → fallback anyway
+    saved = estimate_postings_saved(bidx, terms, mode)
+    return "wand" if saved is not None and saved > BREAK_EVEN_POSTINGS else "exact"
 
 
 def topk(

@@ -127,7 +127,7 @@ def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: Optional[dict] =
 
 # per-term block-ub quantile grid kept in the metadata cache — the
 # planner's histogram of how block upper bounds distribute within a term
-META_QUANTS = (0.1, 0.25, 0.5, 0.75, 0.9)
+META_QUANTS = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9)
 
 
 def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:

@@ -1,11 +1,16 @@
-"""Planner invariants: path choice is stats-driven, results path-invariant.
+"""Planner invariants: path choice is cost-driven, results path-invariant.
 
 The planner (query.planner) may only ever change latency — both routes
 are rank-identical — and must decide from cached metadata without
-scanning postings. These tests pin the decision rules to corpus shapes:
-single-list and flat-idf ("narrow vocabulary") queries go exact; AND
-driven by a rare list goes WAND; the estimate is a sane fraction.
+scanning postings. The crossover bench (tools/bench_wand_crossover.py,
+BENCH.md §6) showed exact wins EVERY shape at 10^6-doc scale (WAND's
+multi-job floor > the whole exact runtime), so at test-corpus scale the
+planner must always say "exact"; the WAND branch is exercised through
+synthetic cached metadata at 10^8-10^9-posting scale, where skipping
+decode volume pays for the orchestration.
 """
+
+from types import SimpleNamespace
 
 import pytest
 from pyspark.sql import functions as F
@@ -13,8 +18,10 @@ from pyspark.sql import functions as F
 from nexlt_spark.index.packed import build_blocked_direct
 from nexlt_spark.query.exact import paginate, score_postings
 from nexlt_spark.query.planner import (
+    BREAK_EVEN_POSTINGS,
     choose_topk_path,
     estimate_kept_fraction,
+    estimate_postings_saved,
     topk,
 )
 
@@ -25,6 +32,12 @@ def ranged(documents):
     b.blocks = b.blocks.persist()
     b.blocks.count()
     return b
+
+
+def _fake_index(n_docs, meta):
+    """Planner-visible index stand-in: prefilled TermStates cache + stats.
+    choose_topk_path reads nothing else, so no Spark is involved."""
+    return SimpleNamespace(stats=SimpleNamespace(n_docs=n_docs), _term_meta_cache=dict(meta))
 
 
 def _exact(index, terms, k, mode="or"):
@@ -46,22 +59,68 @@ def test_absent_terms_go_exact(ranged):
     assert choose_topk_path(ranged, ["the", "nosuchterm"], 10, "and") == "exact"
 
 
-def test_and_rare_list_goes_wand(ranged):
-    # every present multi-term AND on this small corpus has a rarest list
-    # far under the candidate cap → conjunction-by-smallest-list
-    assert choose_topk_path(ranged, ["run", "file"], 10, "and") == "wand"
+def test_small_corpus_always_exact(ranged):
+    # the crossover bench's verdict at this scale: WAND's orchestration
+    # floor exceeds the exact plan's entire runtime — every shape exact
+    for terms, mode in [
+        (["run", "file"], "and"),
+        (["the", "run", "data"], "or"),
+        (["the", "w1998"], "or"),
+    ]:
+        assert choose_topk_path(ranged, terms, 10, mode) == "exact", (terms, mode)
 
 
-def test_or_flat_idf_goes_exact(ranged):
-    # synth vocab is narrow: common terms share similar idf, θ̂ prunes
-    # little → kept fraction high → exact
+def test_or_kept_fraction_estimate_sane(ranged):
     kf = estimate_kept_fraction(ranged, ["the", "run", "data"])
     assert kf is not None and 0.0 <= kf <= 1.0
-    assert choose_topk_path(ranged, ["the", "run", "data"], 10, "or") == "exact"
-
-
-def test_estimate_none_when_absent(ranged):
     assert estimate_kept_fraction(ranged, ["nosuchterm"]) is None
+    assert estimate_postings_saved(ranged, ["nosuchterm"]) is None
+
+
+def test_wand_chosen_at_scale_or():
+    # two comparable-idf terms, 300M postings total, block-ub sketch says
+    # ~90% of blocks fall below the θ̂ cut → saved ≈ 270M ≫ break-even
+    meta = {
+        "hot": (200_000_000, 1.0, 1_500_000, (0.28, 0.30, 0.35, 0.40, 0.45, 0.50)),
+        "warm": (100_000_000, 1.0, 800_000, (0.28, 0.30, 0.35, 0.40, 0.45, 0.50)),
+    }
+    idx = _fake_index(1_000_000_000, meta)
+    saved = estimate_postings_saved(idx, ["hot", "warm"], "or")
+    assert saved is not None and saved > BREAK_EVEN_POSTINGS
+    assert choose_topk_path(idx, ["hot", "warm"], 10, "or") == "wand"
+
+
+def test_wand_chosen_at_scale_and_rare_list():
+    # 1k-doc rare list against a 500M-posting hot list: candidate-masked
+    # rescore decodes ≤ rare·terms·block postings — skip ~all of the list
+    meta = {
+        "rare": (1_000, 1.0, 8, (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)),
+        "hot": (500_000_000, 1.0, 4_000_000, (0.15, 0.2, 0.25, 0.3, 0.35, 0.4)),
+    }
+    idx = _fake_index(1_000_000_000, meta)
+    assert choose_topk_path(idx, ["rare", "hot"], 10, "and") == "wand"
+
+
+def test_and_over_candidate_cap_goes_exact():
+    # rarest list larger than the candidate cap ⇒ WAND would fall back
+    # anyway; planner must not pay the probe just to fall back
+    meta = {
+        "big1": (600_000, 1.0, 5_000, (0.15, 0.2, 0.25, 0.3, 0.35, 0.4)),
+        "big2": (700_000_000, 1.0, 5_500_000, (0.15, 0.2, 0.25, 0.3, 0.35, 0.4)),
+    }
+    idx = _fake_index(1_000_000_000, meta)
+    assert choose_topk_path(idx, ["big1", "big2"], 10, "and") == "exact"
+
+
+def test_flat_idf_or_stays_exact_even_at_scale():
+    # equal hot terms with flat block-ub sketches near the max: θ̂ keeps
+    # everything → saved ≈ 0 → exact, regardless of volume
+    meta = {
+        "a": (200_000_000, 1.0, 1_500_000, (0.95, 0.96, 0.97, 0.98, 0.99, 1.0)),
+        "b": (210_000_000, 1.0, 1_600_000, (0.95, 0.96, 0.97, 0.98, 0.99, 1.0)),
+    }
+    idx = _fake_index(1_000_000_000, meta)
+    assert choose_topk_path(idx, ["a", "b"], 10, "or") == "exact"
 
 
 @pytest.mark.parametrize(
