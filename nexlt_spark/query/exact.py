@@ -311,12 +311,12 @@ def paginate(df: DataFrame, sort_cols, start: int, k: int) -> DataFrame:
     )
 
 
-def bm25_topk(
-    index: InvertedIndex,
-    documents: DataFrame,
-    q: Query,
-) -> DataFrame:
-    """Relevance-ranked top-k: (doc_id, score, …fl columns)."""
+def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame:
+    """(doc_id, score) of every match of a relevance query — the shared
+    rank-phase dispatch behind bm25_topk / search / cache.cached_topk:
+    picks the fused per-range phrase plan, the one-pass phrase plan, or
+    the postings fold; applies fq / existence / NOT. Unpaginated (callers
+    paginate with the canonical score-desc doc_id-asc order)."""
     an = getattr(index, "analyzer", "standard")
     terms = analyze_terms(q.terms, an)
     if q.phrase:
@@ -358,6 +358,16 @@ def bm25_topk(
         excl = prohibited_docs(index, q.not_terms, an)
         if excl is not None:
             scored = scored.join(excl, "doc_id", "left_anti")
+    return scored
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    documents: DataFrame,
+    q: Query,
+) -> DataFrame:
+    """Relevance-ranked top-k: (doc_id, score, …fl columns)."""
+    scored = ranked_scores(index, documents, q)
     sort_cols = [F.col("score").desc(), F.col("doc_id").asc()]
     topk = paginate(scored, sort_cols, q.start, q.k)
 
@@ -383,38 +393,7 @@ def search(index: InvertedIndex, documents: DataFrame, q: Query):
     are range-partitioned, flatten.assign_stable_ids). Returns a list of
     Rows in rank order.
     """
-    an = getattr(index, "analyzer", "standard")
-    terms = analyze_terms(q.terms, an)
-    if q.phrase:
-        terms = terms + [t for t in tokenize(q.phrase, an) if t not in terms]
-
-    doc_filter = None
-    if not q.filters.is_empty() or q.exists:
-        doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
-    prl = (q.start + q.k) if not q.not_terms else None
-    if (
-        q.phrase
-        and getattr(index, "has_positions", False)
-        and set(terms) <= set(tokenize(q.phrase, an))
-    ):
-        ptoks = tokenize(q.phrase, an)
-        if getattr(index, "ranged", False):
-            from nexlt_spark.query.ranged import phrase_score_ranged
-
-            scored = phrase_score_ranged(index, ptoks, prl if doc_filter is None else None)
-            if doc_filter is not None:
-                scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
-        else:
-            scored = phrase_score_postings(index, ptoks, doc_filter)
-    else:
-        if q.phrase:
-            doc_filter = phrase_docs(index, documents, tokenize(q.phrase, an), an, doc_filter)
-        scored = score_postings(index, terms, q.mode if not q.phrase else "and",
-                                doc_filter, per_range_limit=prl)
-    if q.not_terms:
-        excl = prohibited_docs(index, q.not_terms, an)
-        if excl is not None:
-            scored = scored.join(excl, "doc_id", "left_anti")
+    scored = ranked_scores(index, documents, q)
 
     # phase 1: rank (TakeOrderedAndProject; ≤ start+k rows to the driver)
     ranked = paginate(
