@@ -216,6 +216,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_planned_or"] = _bm25_planned
 
+    def _bm25_sharded(s, d):  # distributed-query shape (solrconfig.xml:837-838):
+        # 3 independent stores + ExactStatsCache global df/avgdl — the oracle
+        # is the SINGLE-store SQL, so shard placement provably leaves no
+        # signal in the ranks (index/sharded.py)
+        from nexlt_spark.index.sharded import combine_shards
+        from nexlt_spark.query.exact import bm25_topk
+        from nexlt_spark.query.model import Query
+
+        key = ("sharded", d)
+        if key not in _INDEX_CACHE:
+            from nexlt_spark.index.packed import build_blocked_direct
+
+            docs = _docs(s, d)
+            parts = [
+                build_blocked_direct(
+                    docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+                )
+                for i in range(3)
+            ]
+            _INDEX_CACHE[key] = combine_shards(parts).persist()
+        top = bm25_topk(
+            _INDEX_CACHE[key], _docs(s, d), Query(terms=["spark", "join"], k=10)
+        )
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_sharded_or"] = _bm25_sharded
+
     # -- per-range fused scorer (query/ranged.py — the at-depth plan) ------
     def _ranged_index(s, d):
         key = ("ranged", d)
@@ -551,6 +578,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_single_term"] = _sql_bm25_1("spark")
     o["bm25_hot_term"] = _sql_bm25_1("table")
     o["bm25_multi_or"] = _sql_bm25_2("spark", "join", "or")
+    # sharded ≡ single-store: the oracle is deliberately the UNSHARDED SQL
+    o["bm25_sharded_or"] = _sql_bm25_2("spark", "join", "or")
     o["bm25_multi_and"] = _sql_bm25_2("spark", "join", "and")
     o["bm25_phrase"] = (
         _PRE
