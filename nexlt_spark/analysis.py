@@ -23,6 +23,15 @@ import unicodedata
 from typing import Callable, List, NamedTuple, Optional
 
 from nexlt_spark.stemmer import porter_stem
+from nexlt_spark.stemmer_light import (
+    FR_ELISION,
+    IT_ELISION,
+    french_light_stem,
+    german_light_stem,
+    italian_light_stem,
+    portuguese_light_stem,
+    spanish_light_stem,
+)
 
 # [^\W_] == word char minus underscore == Unicode letter or digit.
 TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
@@ -77,16 +86,45 @@ class Chain(NamedTuple):
     stream_map: Optional[Callable[[List[str]], List[str]]] = None
 
 
+def _drop_empty(toks: List[str]) -> List[str]:
+    return [t for t in toks if t]
+
+
+def _elide_then(articles, stem: Callable[[str], str]) -> Callable[[str], str]:
+    """Elision + stemming as one vocab-level token map: the tokenizer
+    already split «l'article» at the apostrophe, so the elided article
+    arrives as its own token — map it to '' (dropped by _drop_empty),
+    stem everything else."""
+
+    def m(t: str) -> str:
+        return "" if t in articles else stem(t)
+
+    return m
+
+
 # Pluggable analyzer chains (SURVEY.md §1.5). "standard" models the
 # reference's text_general (StandardTokenizer+LowerCase, no stopwords —
 # schema.xml:198-213); "en_porter" models text_en_splitting's stemming
 # step (PorterStemFilter at index AND query time, schema.xml:293,303);
 # "cjk_bigram" models the text_cjk chain (schema.xml:501-510) — NFKC
-# normalize covers the CJKWidthFilter step.
+# normalize covers the CJKWidthFilter step. The *_light chains model the
+# reference's European language fields (stemmer_light module docstring):
+# text_de :543-551, text_fr :612-622, text_es :567-575, text_it
+# :707-717, text_pt :804-814 — lowercase, (elide), normalize, light-stem,
+# stopwords commented out in the reference.
 ANALYZERS = {
     "standard": Chain(),
     "en_porter": Chain(token_map=porter_stem),
     "cjk_bigram": Chain(regex=CJK_TOKEN_RE, stream_map=cjk_bigram_stream),
+    "de_light": Chain(token_map=german_light_stem),
+    "fr_light": Chain(
+        token_map=_elide_then(FR_ELISION, french_light_stem), stream_map=_drop_empty
+    ),
+    "es_light": Chain(token_map=spanish_light_stem),
+    "it_light": Chain(
+        token_map=_elide_then(IT_ELISION, italian_light_stem), stream_map=_drop_empty
+    ),
+    "pt_light": Chain(token_map=portuguese_light_stem),
 }
 
 # The same tokenizer expressed as an ANSI-SQL expression for the DuckDB

@@ -123,6 +123,30 @@ def test_independent_id_shards_rebase(spark, documents, single, tmp_path_factory
     assert got == ref
 
 
+def test_select_facade_over_shards(single, sharded, documents):
+    """The full /select request shape — raw q + fq, facets, numFound —
+    must behave identically on a ShardedIndex (the protocol is the whole
+    integration surface)."""
+    from nexlt_spark.query.select import select
+
+    kw = dict(
+        q='text:spark AND text:join',
+        fq=['role:user'],
+        rows=10,
+        facet_field=['role'],
+        compute_num_found=True,
+    )
+    a = select(single, documents, **kw)
+    b = select(sharded, documents, **kw)
+    assert a.num_found == b.num_found
+    assert sorted(map(tuple, a.facet_fields["role"].collect())) == sorted(
+        map(tuple, b.facet_fields["role"].collect())
+    )
+    pa = [(r["doc_id"], round(r["score"], 9)) for r in a.docs.collect()]
+    pb = [(r["doc_id"], round(r["score"], 9)) for r in b.docs.collect()]
+    assert pa == pb
+
+
 def test_mixed_analyzers_rejected(documents):
     a = build_blocked_direct(documents.limit(10))
     b = build_blocked_direct(documents.limit(10), analyzer="en_porter")

@@ -207,6 +207,34 @@ def main() -> None:
         )
     )
 
+    # 11. sharded scatter-gather: union of per-shard pruned scans feeding
+    # ONE TakeOrderedAndProject — no extra shuffle, no cartesian, and the
+    # term filter still reaches every shard's parquet scan
+    from nexlt_spark.index.sharded import combine_shards
+
+    shard_paths = []
+    for i in range(2):
+        sp = tempfile.mkdtemp(prefix=f"nexlt-plans-shard{i}-")
+        save_blocked(
+            build_blocked_direct(
+                docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == i)
+            ),
+            sp,
+        )
+        shard_paths.append(sp)
+    shidx = combine_shards([load_blocked_index(spark, p) for p in shard_paths])
+    q11 = bm25_topk(shidx, docs, Query(terms=["spark", "join"], k=10))
+    sections.append(
+        (
+            "Sharded search: union of pruned shard scans, one top-k merge",
+            plan_text(q11),
+            # the only exchange is the same per-doc score fold the
+            # single-store plan has — sharding itself adds none
+            ["Union", "TakeOrderedAndProject", "PushedFilters"],
+            ["SortMergeJoin", "CartesianProduct"],
+        )
+    )
+
     failures: list[str] = []
     out_lines = [
         "# PLANS — physical-plan evidence (`.explain(\"formatted\")`)",
