@@ -212,6 +212,76 @@ def _emit_postings(
     return emit
 
 
+# Java-regex equivalent of analysis.TOKEN_RE ([^\W_]+ under re.UNICODE):
+# maximal runs of Unicode letters/digits, underscore excluded. \p{N}
+# covers Nd/Nl/No exactly as Python's str.isalnum does.
+_JVM_TOKEN_RE = r"[\p{L}\p{N}]+"
+
+
+def _emit_postings_jvm(
+    documents: DataFrame, doc_id_col: str, text_col: str, positions: bool
+) -> DataFrame:
+    """The 'standard'-chain emit expressed entirely in Catalyst — zero
+    Python anywhere in the plan (no Arrow hop, no python workers).
+
+    Per-doc tf is computed INSIDE the row with higher-order functions
+    (array_distinct × filter — the map-side combine the Arrow kernel
+    does in pandas), so like the Arrow path this emits pre-aggregated
+    posting rows with NO shuffle: explode fans out one row per (doc,
+    term), never one per token occurrence. O(distinct·dl) comparisons
+    per doc — for conversation turns (dl ≈ 10-100) this stays cheap and
+    fully inside WholeStageCodegen.
+
+    Semantics match the 'standard' chain exactly for NFKC-normalized
+    text (JVM `lower` ≡ Python `str.lower` on such input; the regexes
+    are equivalent by construction — asserted against the pandas emit
+    in tests/test_jvm_tokenize.py, including positions, on 87M postings).
+    Spark has no NFKC builtin, so texts containing compatibility forms
+    (full-width CJK digits, ligatures) need the Arrow path.
+
+    MEASURED (tools/bench_emit_paths.py, BENCH.md §5): the Arrow kernel
+    is ~6× FASTER than this path on the bench box (91.5k vs 15.8k
+    turns/s at 8 cores, 2.25M turns) — the per-pair string comparisons
+    of the HOF tf computation plus JVM regex cost far more than the
+    Arrow hop they avoid. The Arrow emit stays the default and the
+    scale recommendation; this path is the option for clusters where
+    Python workers are unavailable or prohibited.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(_JVM_TOKEN_RE), 0
+    )
+    base = documents.select(
+        F.col(doc_id_col).alias("doc_id"), toks.alias("toks")
+    ).select("doc_id", "toks", F.size("toks").cast("int").alias("dl"))
+
+    entry_cols = [
+        F.col("t").alias("term"),
+        F.size(F.filter("toks", lambda x: x == F.col("t"))).cast("int").alias("tf"),
+    ]
+    if positions:
+        entry_cols.append(
+            F.filter(
+                F.transform("toks", lambda x, i: F.when(x == F.col("t"), i.cast("int"))),
+                lambda v: v.isNotNull(),
+            ).alias("positions")
+        )
+    entries = base.select(
+        "doc_id", "dl", F.explode(F.array_distinct("toks")).alias("t"), "toks"
+    ).select("doc_id", "dl", *entry_cols)
+
+    sent_cols = [
+        F.lit(_SENTINEL).alias("term"),
+        F.col("doc_id"),
+        F.lit(0).cast("int").alias("tf"),
+        F.col("dl"),
+    ]
+    if positions:
+        sent_cols.append(F.lit(None).cast("array<int>").alias("positions"))
+    sentinels = base.select(*sent_cols)
+    cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if positions else [])
+    return entries.select(*cols).unionByName(sentinels.select(*cols))
+
+
 def build_index(
     documents: DataFrame,
     doc_id_col: str = "doc_id",
@@ -219,6 +289,7 @@ def build_index(
     persist_raw: bool = True,
     analyzer: str = "standard",
     positions: bool = False,
+    tokenizer: str = "arrow",
 ) -> InvertedIndex:
     """Build the flat inverted index from a documents DataFrame.
 
@@ -232,11 +303,23 @@ def build_index(
     positions=True carries per-posting token offsets (array<int>) so
     phrase queries run entirely off postings (query.exact.phrase_match_docs)
     with no documents-table access.
+
+    tokenizer='jvm' (standard chain only) swaps the Arrow kernel for the
+    pure-Catalyst emit (_emit_postings_jvm): identical output, zero
+    Python in the plan — the build becomes 100% JVM codegen end-to-end.
     """
-    raw = documents.select(doc_id_col, text_col).mapInPandas(
-        _emit_postings(doc_id_col, text_col, analyzer, positions),
-        schema=RAW_POS_SCHEMA if positions else RAW_SCHEMA,
-    )
+    if tokenizer == "jvm":
+        if analyzer != "standard":
+            raise ValueError(
+                "tokenizer='jvm' implements the 'standard' chain only; "
+                f"analyzer={analyzer!r} needs the arrow path"
+            )
+        raw = _emit_postings_jvm(documents, doc_id_col, text_col, positions)
+    else:
+        raw = documents.select(doc_id_col, text_col).mapInPandas(
+            _emit_postings(doc_id_col, text_col, analyzer, positions),
+            schema=RAW_POS_SCHEMA if positions else RAW_SCHEMA,
+        )
     if persist_raw:
         raw = raw.persist()
 
