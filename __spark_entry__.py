@@ -554,6 +554,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = _ann
 
+    def _ann_ivf(s, d):  # IVF centroid-partitioned ANN; nprobe=n_cells ⇒
+        # exhaustive ⇒ oracle is the exact brute-force SQL (recall at
+        # nprobe<n_cells asserted on planted clusters in pytest)
+        emb = _embeddings(s, d)
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+        cents = similarity.train_ivf_centroids(emb, n_cells=4, dim=len(qv), iters=5)
+        assigned = similarity.ivf_assign(emb, cents)
+        out = similarity.ivf_cosine_topk(assigned, qv, cents, nprobe=4, k=10)
+        return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+    q["ann_ivf_topk"] = _ann_ivf
+
     # -- streaming-analog window agg (ST analog; batch-equivalent form) ----
     def _tumbling(s, d):
         e = _events(s, d)
@@ -811,6 +823,8 @@ def oracle_sql() -> dict[str, str]:
         "  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))\n"
         "   * sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC LIMIT 10"
     )
+    # IVF at nprobe=n_cells ≡ exhaustive — deliberately the SAME exact SQL
+    o["ann_ivf_topk"] = o["ann_cosine_topk"]
     o["tumbling_window_agg"] = (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,\n"
         "  event_type, count(*) AS n, round(sum(value), 4) AS total_value\n"

@@ -227,3 +227,117 @@ def projection_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — centroid-partitioned cosine search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_every: int = 1,
+    iters: int = 10,
+    seed: int = 42,
+) -> List[List[float]]:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    deterministic hash sample (``xxhash64(id) % sample_every == 0`` —
+    order-independent, so the same centroids come back on any partition
+    layout). The training set is the only data that ever reaches the
+    driver; at 10^12 rows, pick ``sample_every`` so ~10⁵-10⁶ vectors
+    sample in — k-means quality needs a sample, never the corpus.
+
+    Plain seeded Lloyd over L2-normalized vectors (cosine k-means);
+    k-means++-style farthest-point seeding from the sample. Returns unit
+    centroids as plain lists (broadcast-able literals).
+    """
+    import numpy as np
+
+    s = embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    if sample_every > 1:
+        s = s.where(F.pmod(F.xxhash64(F.col("i")), F.lit(sample_every)) == 0)
+    # driver-side sort by id: collect order depends on partition layout,
+    # the training set must not
+    rows = sorted(s.collect(), key=lambda r: r["i"])
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.RandomState(seed)
+    # farthest-point init: deterministic, spreads cells over the sample
+    first = int(rng.randint(len(X)))
+    cents = [X[first]]
+    for _ in range(1, n_cells):
+        d = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
+        cents.append(X[int(np.argmax(d))])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(x) for x in c] for c in C]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment via ONE Arrow-batched
+    matmul per batch (pandas_udf) — the ingest-time half of IVF. At
+    scale, write the result ``partitionBy("cell")`` so query-time probes
+    become partition-pruned scans (the postings-bucket trick, applied to
+    vectors)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def _cell_of(vecs):
+        X = np.asarray(list(vecs), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf inference
+    # cannot evaluate
+    _cell_of.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    cell_of = pandas_udf(_cell_of, "int")
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("cell")
+    )
+
+
+def ivf_cosine_topk(
+    assigned: DataFrame,
+    query_vec: Sequence[float],
+    centroids: List[List[float]],
+    nprobe: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank cells by cos(query, centroid) DRIVER-SIDE (n_cells
+    floats — no Spark job), scan only the top-``nprobe`` cells, exact
+    cosine + TakeOrderedAndProject inside them. ``nprobe == n_cells``
+    degenerates to exact brute force (the contract-checked config);
+    recall at nprobe < n_cells is asserted on planted clusters in
+    tests/test_pipeline_ops.py."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(C @ q))
+    cells = [int(c) for c in order[: max(1, nprobe)]]
+    pruned = assigned.where(F.col("cell").isin(cells)).drop("cell")
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)

@@ -186,6 +186,55 @@ def test_cosine_topk_matches_numpy(vectors):
     assert got == want
 
 
+def test_ivf_full_probe_equals_brute_force(vectors):
+    """nprobe == n_cells ⇒ IVF scans everything ⇒ ≡ exact cosine_topk
+    (the contract-checked configuration, mirroring the minhash-banded
+    full-recall entry pattern)."""
+    df, vecs = vectors
+    cents = similarity.train_ivf_centroids(df, n_cells=4, dim=8, iters=5)
+    assigned = similarity.ivf_assign(df, cents).persist()
+    q = [float(x) for x in vecs[3]]
+    got = [
+        (r["vec_id"], round(r["cos"], 9))
+        for r in similarity.ivf_cosine_topk(assigned, q, cents, nprobe=4, k=7).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cos"], 9))
+        for r in similarity.cosine_topk(df, q, k=7).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_centroids_deterministic_and_unit(vectors):
+    df, _ = vectors
+    a = similarity.train_ivf_centroids(df, n_cells=3, dim=8, iters=4)
+    b = similarity.train_ivf_centroids(df, n_cells=3, dim=8, iters=4)
+    assert a == b
+    for c in a:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_ivf_planted_clusters_recall_at_nprobe_1(spark):
+    """Three well-separated planted clusters: a query at a cluster center
+    with nprobe=1 must retrieve only (and all of) that cluster's top-k —
+    the scale path's recall argument on data where cells are real."""
+    rng = np.random.RandomState(5)
+    centers = np.stack([np.eye(12)[0], np.eye(12)[5], np.eye(12)[9]])
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = centers[c] + 0.05 * rng.randn(12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_ivf_centroids(df, n_cells=3, dim=12, iters=8)
+    assigned = similarity.ivf_assign(df, cents).persist()
+    q = [float(x) for x in centers[1]]
+    got = {r["vec_id"] for r in similarity.ivf_cosine_topk(assigned, q, cents, nprobe=1, k=10).collect()}
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+    assert got == exact  # full recall: the probed cell IS the cluster
+    assert all(i % 3 == 1 for i in got)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
