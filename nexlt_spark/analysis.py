@@ -132,6 +132,78 @@ ANALYZERS = {
 SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 
 
+def batch_token_codes(texts, spec: Chain):
+    """Vectorized batch tokenization → integer term codes, shared by BOTH
+    emit kernels (index.build._emit_postings, index.packed._emit_packed)
+    so they cannot drift from :func:`tokenize`'s chain order again.
+
+    Applies the chain in tokenize()'s exact order — regex, then
+    ``token_map`` (vocab-level: each distinct raw token stemmed once per
+    batch), then ``stream_map``. For chains that combine a token_map with
+    a stream_map the only supported stream step is ``_drop_empty`` (the
+    elision chains): tokens whose mapped form is '' are removed and
+    per-doc lengths recomputed, exactly like tokenize()'s post-map drop.
+    A general count-changing stream_map after a token_map would need
+    per-stream re-materialization — no such chain exists; we raise rather
+    than silently mis-order.
+
+    Returns ``(doc_idx, codes, uniques, lens)``:
+      doc_idx  int64[n_kept_tokens]  — batch-row index per token, doc-major,
+                                        in-doc order preserved
+      codes    int64[n_kept_tokens]  — index into ``uniques`` per token
+      uniques  object[...]           — distinct final terms (may contain an
+                                        unused '' slot after a drop)
+      lens     int64[n_rows]         — post-chain token count per doc (== dl)
+    """
+    from itertools import chain as _chain
+
+    import numpy as np
+    import pandas as pd
+
+    toks = texts.fillna("").str.normalize("NFKC").str.lower().str.findall(spec.regex)
+    if spec.token_map is None and spec.stream_map is not None:
+        # pure stream chains (cjk_bigram): the stream step IS the whole map
+        toks = toks.map(spec.stream_map)
+    elif spec.token_map is not None and spec.stream_map is not None:
+        if spec.stream_map is not _drop_empty:
+            raise NotImplementedError(
+                "token_map + a stream_map other than _drop_empty is not "
+                "vocab-expressible; add a per-stream path for this chain"
+            )
+    n_rows = len(texts)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = list(_chain.from_iterable(toks))
+    if not flat:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            lens,
+        )
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    if spec.token_map is not None:
+        # vocab-level stemming: stem each distinct token once per batch
+        # (Zipf: vocab << tokens); stemming can merge vocab entries, so
+        # refactorize the stemmed vocab and remap codes.
+        stemmed = np.array([spec.token_map(t) for t in uniques], dtype=object)
+        scodes, uniques = pd.factorize(stemmed)
+        codes = scodes[codes]
+        if spec.stream_map is not None:
+            # _drop_empty AFTER the map (tokenize() order): remove token
+            # instances whose mapped form is '' and recompute dl, so
+            # neither postings nor doc lengths nor positions ever see the
+            # elided-article sentinel collision (ADVICE r2, high).
+            empty = np.flatnonzero(uniques == "")
+            if len(empty):
+                keep = codes != empty[0]
+                if not keep.all():
+                    codes = codes[keep]
+                    doc_idx = doc_idx[keep]
+                    lens = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+    return doc_idx, codes, uniques, lens
+
+
 def normalize(text: str) -> str:
     """NFKC-normalize + lowercase (order: normalize first, then lower)."""
     return unicodedata.normalize("NFKC", text).lower()

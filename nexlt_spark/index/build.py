@@ -116,30 +116,22 @@ def _emit_postings(
     analyzer the positions are those of the RAW tokens whose stem equals
     the term, still ascending.
     """
-    from itertools import chain
-
     import numpy as np
     import pandas as pd
 
-    from nexlt_spark.analysis import ANALYZERS
+    from nexlt_spark.analysis import ANALYZERS, batch_token_codes
 
     spec = ANALYZERS[analyzer]
-    stem = spec.token_map
 
     def emit(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             doc_ids = pdf[doc_id_col].to_numpy()
-            toks = (
-                pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(spec.regex)
-            )
-            if spec.stream_map is not None:
-                # token-count-changing filters (e.g. CJK bigrams) run on
-                # the token stream before flatten; dl counts the output
-                toks = toks.map(spec.stream_map)
-            lens = toks.str.len().to_numpy(dtype=np.int64)
-            flat_terms = list(chain.from_iterable(toks))
+            # chain-order-faithful shared tokenizer (tokenize() semantics:
+            # token_map, then stream_map/drop, then dl/positions) — the
+            # fused-key tf below counts per distinct FINAL term
+            doc_idx, codes, uniques, lens = batch_token_codes(pdf[text_col], spec)
             sent = pd.DataFrame(
                 {
                     "term": _SENTINEL,
@@ -150,25 +142,13 @@ def _emit_postings(
             )
             if positions:
                 sent["positions"] = None
-            if not flat_terms:
+            if len(codes) == 0:
                 yield sent
                 continue
             # tf via ONE sort/unique over a fused (doc, term-code) int64 key —
             # the string hashing happens once in factorize; no object-dtype
             # groupby (measured materially faster + fewer allocations)
-            codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
-            if stem is not None:
-                # vocab-level stemming: stem each distinct token once per
-                # batch (Zipf: vocab << tokens); dl stays the raw token
-                # count (Lucene norms count tokens, not distinct stems).
-                # Stemming can merge vocab entries — refactorize the
-                # stemmed vocab and remap codes so the fused key still
-                # counts per distinct stemmed term.
-                stemmed = np.array([stem(t) for t in uniques], dtype=object)
-                scodes, uniques = pd.factorize(stemmed)
-                codes = scodes[codes]
             v = len(uniques)
-            doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
             key = doc_idx * v + codes
             if not positions:
                 uk, counts = np.unique(key, return_counts=True)

@@ -336,6 +336,10 @@ def compact(spark: SparkSession, path: str, out_path: str, build_id: str = "comp
                 "first_doc_id": 0,
                 "max_doc_id": max_id,
                 "analyzer": done[-1].get("analyzer", "standard"),
+                # whole-store invariant, same as analyzer: without it a
+                # compacted positions=True store would read back as
+                # positions=False and accept mixed-schema runs (ADVICE r2)
+                "positions": done[-1].get("positions", False),
                 "seconds": round(time.perf_counter() - t0, 4),
                 "compacted_from": [m["build_id"] for m in done],
             },

@@ -88,24 +88,19 @@ def _emit_packed(
                  right choice when the exchange crosses a real network:
                  a 1000-executor cluster shuffles 4× fewer bytes.
     """
-    from itertools import chain
-
-    from nexlt_spark.analysis import ANALYZERS
+    from nexlt_spark.analysis import ANALYZERS, batch_token_codes
 
     spec = ANALYZERS[analyzer]
-    stem = spec.token_map
 
     def emit(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             doc_ids = pdf[doc_id_col].to_numpy(dtype=np.int64)
-            toks = (
-                pdf[text_col].fillna("").str.normalize("NFKC").str.lower().str.findall(spec.regex)
-            )
-            if spec.stream_map is not None:
-                toks = toks.map(spec.stream_map)
-            lens = toks.str.len().to_numpy(dtype=np.int64)
+            # chain-order-faithful shared tokenizer (tokenize() semantics) —
+            # lens is the post-chain dl, so sum_dl/avgdl stay oracle-exact
+            # for elision chains too (ADVICE r2, high)
+            doc_idx, codes, uniques, lens = batch_token_codes(pdf[text_col], spec)
             # sentinel: per-doc lengths packed; stats aggregable without unpack
             sent = pd.DataFrame(
                 {
@@ -120,17 +115,10 @@ def _emit_packed(
             )
             if positions:
                 sent["pos"] = [b""]
-            flat_terms = list(chain.from_iterable(toks))
-            if not flat_terms:
+            if len(codes) == 0:
                 yield sent
                 continue
-            codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
-            if stem is not None:
-                stemmed = np.array([stem(t) for t in uniques], dtype=object)
-                scodes, uniques = pd.factorize(stemmed)
-                codes = scodes[codes]
             v = len(uniques)
-            doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
             key = doc_idx * v + codes
             if positions:
                 # group token instances by posting with a STABLE sort so

@@ -37,20 +37,24 @@ def facet_query_counts(df: DataFrame, predicates: Dict[str, Column]) -> DataFram
     """facet.query: (facet, n) — one row per named arbitrary predicate.
 
     All predicates are evaluated in a single aggregate over one scan
-    (sum(when(p,1))) and the one-row result is unpivoted via stack().
+    (sum(when(p,1))) and the one-row result is unpivoted via an
+    explode(map) — names travel as literal Columns, never interpolated
+    into SQL text, so quotes/backticks in facet names are inert data
+    (ADVICE r2: the previous stack() string was injectable).
     """
     names = sorted(predicates)
     aggs = [
-        F.sum(F.when(predicates[name], F.lit(1)).otherwise(F.lit(0))).alias(f"_f{i}")
+        F.coalesce(
+            F.sum(F.when(predicates[name], F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).alias(f"_f{i}")
         for i, name in enumerate(names)
     ]
     row = df.agg(*aggs)
-    stack = (
-        f"stack({len(names)}, "
-        + ", ".join(f"'{name}', coalesce(_f{i}, 0L)" for i, name in enumerate(names))
-        + ") as (facet, n)"
+    pairs = F.map_from_arrays(
+        F.array(*[F.lit(name) for name in names]),
+        F.array(*[F.col(f"_f{i}") for i in range(len(names))]),
     )
-    return row.selectExpr(stack)
+    return row.select(F.explode(pairs).alias("facet", "n"))
 
 
 def facet_range_counts(

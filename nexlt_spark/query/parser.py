@@ -60,6 +60,39 @@ class QueryParseError(ValueError):
     pass
 
 
+_TS_PARSE_RE = re.compile(
+    r"^(?P<y>\d{4})-(?P<mo>\d{1,2})-(?P<d>\d{1,2})"
+    r"(?:[ T](?P<h>\d{1,2}):(?P<mi>\d{1,2})"
+    r"(?::(?P<s>\d{1,2})(?:\.(?P<f>\d{1,6}))?)?)?Z?$"
+)
+
+
+def normalize_ts(v: str) -> str:
+    """Canonicalize an ISO-ish timestamp to the fixed-width form
+    ``YYYY-MM-DDTHH:MM:SS.ffffff`` so lexicographic max/min ==
+    chronological max/min when intersecting repeated range bounds
+    (ADVICE r2: '2026-1-2' vs '2026-01-02T00:00:00' miscompared as
+    strings). Raises QueryParseError on unparseable values."""
+    m = _TS_PARSE_RE.match(v.strip())
+    if not m:
+        raise QueryParseError(f"unparseable timestamp {v!r}")
+    from datetime import datetime
+
+    try:
+        dt = datetime(
+            int(m["y"]),
+            int(m["mo"]),
+            int(m["d"]),
+            int(m["h"] or 0),
+            int(m["mi"] or 0),
+            int(m["s"] or 0),
+            int((m["f"] or "").ljust(6, "0") or 0),
+        )
+    except ValueError as e:
+        raise QueryParseError(f"invalid timestamp {v!r}: {e}") from e
+    return dt.isoformat(sep="T", timespec="microseconds")
+
+
 @dataclass
 class _Clause:
     field: str
@@ -237,7 +270,15 @@ def parse_query(
         if c.kind == "range":
             if c.field not in RANGE_FIELDS:
                 raise QueryParseError(f"range on non-range field {c.field!r}")
-            ts_from, ts_to = c.value
+            # repeated range clauses INTERSECT (fq semantics), on
+            # canonical fixed-width bounds — never overwrite (ADVICE r2)
+            lo, hi = c.value
+            if lo is not None:
+                lo = normalize_ts(lo)
+                ts_from = lo if ts_from is None else max(ts_from, lo)
+            if hi is not None:
+                hi = normalize_ts(hi)
+                ts_to = hi if ts_to is None else min(ts_to, hi)
         elif c.kind in ("term", "phrase", "disj"):
             vals = list(c.value) if c.kind == "disj" else [c.value]
             slot = slots.get(c.field)

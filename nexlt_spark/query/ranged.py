@@ -140,6 +140,14 @@ def _phrase_kernel(
                 f"position {pos_flat.max()} exceeds the {POS_BITS}-bit phrase-key "
                 "budget — raise POS_BITS for corpora with >4M-token documents"
             )
+        if len(ids) and ids.max() >= (1 << (63 - POS_BITS)):
+            # mirror of the position guard: the fused (doc_id << POS_BITS)
+            # + pos key silently wraps past 2^(63-POS_BITS) doc_ids and
+            # would produce wrong phrase matches (ADVICE r2)
+            raise ValueError(
+                f"doc_id {ids.max()} exceeds the {63 - POS_BITS}-bit phrase-key "
+                "budget — lower POS_BITS or renumber doc_ids"
+            )
         # adjacency: a doc matches iff ∃v present in every token's shifted
         # position set — progressive intersect of fused (doc, pos-i) keys
         alive = None

@@ -55,7 +55,7 @@ from nexlt_spark.query.facets import (
     facet_range_counts,
 )
 from nexlt_spark.query.model import Query
-from nexlt_spark.query.parser import QueryParseError, parse_query
+from nexlt_spark.query.parser import QueryParseError, normalize_ts, parse_query
 
 
 @dataclass
@@ -115,10 +115,18 @@ def _merge_fq(base: Query, fq_parsed: Query) -> None:
     bf.roles = _conj(bf.roles, ff.roles)
     bf.tools = _conj(bf.tools, ff.tools)
     bf.conv_ids = _conj(bf.conv_ids, ff.conv_ids)
+    # intersect on canonical fixed-width bounds: base may carry a caller-
+    # supplied raw ISO string while fq's side was normalized by the
+    # parser; mixed-precision strings miscompare lexicographically
+    # (ADVICE r2)
     if ff.ts_from is not None:
-        bf.ts_from = max(bf.ts_from, ff.ts_from) if bf.ts_from else ff.ts_from
+        lo = normalize_ts(ff.ts_from)
+        cur = normalize_ts(bf.ts_from) if bf.ts_from else None
+        bf.ts_from = lo if cur is None else max(cur, lo)
     if ff.ts_to is not None:
-        bf.ts_to = min(bf.ts_to, ff.ts_to) if bf.ts_to else ff.ts_to
+        hi = normalize_ts(ff.ts_to)
+        cur = normalize_ts(bf.ts_to) if bf.ts_to else None
+        bf.ts_to = hi if cur is None else min(cur, hi)
     if ff.fields:
         merged = dict(bf.fields or {})
         for col, vals in ff.fields.items():

@@ -55,9 +55,33 @@ def test_unknown_filter_field_goes_generic():
 
 def test_ts_range_and_open_ends():
     q = parse_query("table ts:[2026-01-05 TO 2026-03-01]")
-    assert q.filters.ts_from == "2026-01-05" and q.filters.ts_to == "2026-03-01"
+    assert q.filters.ts_from == "2026-01-05T00:00:00.000000"
+    assert q.filters.ts_to == "2026-03-01T00:00:00.000000"
     q2 = parse_query("table ts:[2026-01-05 TO *]")
-    assert q2.filters.ts_from == "2026-01-05" and q2.filters.ts_to is None
+    assert q2.filters.ts_from == "2026-01-05T00:00:00.000000" and q2.filters.ts_to is None
+
+
+def test_repeated_ts_ranges_intersect():
+    # two clauses intersect (never overwrite), with mixed-precision bounds
+    # normalized so max/min is chronological, not lexicographic
+    q = parse_query("table ts:[2026-1-2 TO 2026-03-01] ts:[2026-01-05T06:00:00 TO *]")
+    assert q.filters.ts_from == "2026-01-05T06:00:00.000000"
+    assert q.filters.ts_to == "2026-03-01T00:00:00.000000"
+    # a half-open clause must not clear the other bound
+    q2 = parse_query("table ts:[2026-01-05 TO 2026-03-01] ts:[* TO 2026-02-01]")
+    assert q2.filters.ts_from == "2026-01-05T00:00:00.000000"
+    assert q2.filters.ts_to == "2026-02-01T00:00:00.000000"
+
+
+def test_bad_timestamp_raises():
+    import pytest
+
+    from nexlt_spark.query.parser import QueryParseError
+
+    with pytest.raises(QueryParseError):
+        parse_query("table ts:[2026-13-40 TO *]")
+    with pytest.raises(QueryParseError):
+        parse_query("table ts:[yesterday TO *]")
 
 
 def test_existence_and_matchall():
