@@ -235,6 +235,55 @@ def test_ivf_planted_clusters_recall_at_nprobe_1(spark):
     assert all(i % 3 == 1 for i in got)
 
 
+def test_ivf_store_pruned_probe_recall(spark, tmp_path):
+    """On-disk IVF store (partitionBy("cell") + centroid sidecar): an
+    nprobe=1 probe over the store (a) returns the exact planted-cluster
+    top-k and (b) carries the probed cells as PartitionFilters — the
+    unprobed cell directories are pruned at planning time, never
+    scanned."""
+    rng = np.random.RandomState(7)
+    centers = np.stack([np.eye(12)[0], np.eye(12)[5], np.eye(12)[9]])
+    rows = []
+    for i in range(60):
+        v = centers[i % 3] + 0.05 * rng.randn(12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_ivf_centroids(df, n_cells=3, dim=12, iters=8)
+    path = str(tmp_path / "ivf_store")
+    similarity.write_ivf_store(similarity.ivf_assign(df, cents), cents, path)
+
+    assert similarity.read_ivf_centroids(path) == cents  # sidecar round-trips
+
+    q = [float(x) for x in centers[2]]
+    res = similarity.ivf_store_topk(spark, path, q, nprobe=1, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:200]
+
+    got = {r["vec_id"] for r in res.collect()}
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+    assert got == exact
+    assert all(i % 3 == 2 for i in got)
+
+
+def test_ivf_train_default_sample_is_bounded(vectors):
+    """sample_every=None derives a bounded driver sample from the table
+    size (never a corpus collect) and still trains usable unit centroids;
+    a tiny target_sample forces sample_every > 1 on even this small
+    table, exercising the derivation arithmetic."""
+    df, _ = vectors
+    cents = similarity.train_ivf_centroids(
+        df, n_cells=2, dim=8, iters=3, target_sample=8
+    )
+    assert len(cents) == 2
+    for c in cents:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    # max_sample hard-caps the driver set regardless of sample_every
+    capped = similarity.train_ivf_centroids(
+        df, n_cells=2, dim=8, iters=3, sample_every=1, max_sample=10
+    )
+    assert len(capped) == 2
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -134,6 +134,30 @@ def main() -> None:
         )
     )
 
+    # 5b. IVF store probe: cell IN (probed…) must be a PARTITION filter on
+    # the hive partitionBy("cell") layout — unprobed cells pruned at
+    # planning time, and the top-k stays a per-partition heap
+    from nexlt_spark.ops.similarity import (
+        ivf_assign,
+        ivf_store_topk,
+        train_ivf_centroids,
+        write_ivf_store,
+    )
+
+    cents = train_ivf_centroids(emb, n_cells=4, dim=64, iters=4)
+    ivf_path = tempfile.mkdtemp(prefix="nexlt-plans-ivf-") + "/store"
+    write_ivf_store(ivf_assign(emb, cents), cents, ivf_path)
+    qv = [float(x) for x in emb.select("embedding").head()[0]]
+    q6b = ivf_store_topk(spark, ivf_path, qv, nprobe=1, k=10)
+    sections.append(
+        (
+            "IVF store probe: partition-pruned cell scan + top-k heap",
+            plan_text(q6b),
+            ["PartitionFilters", "TakeOrderedAndProject"],
+            ["CartesianProduct", "SortMergeJoin"],
+        )
+    )
+
     # 6. facet.query: every predicate in ONE aggregate over one scan
     from nexlt_spark.query.facets import facet_query_counts
 
