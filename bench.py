@@ -31,7 +31,13 @@ from nexlt_spark.session import get_spark
 from nexlt_spark.flatten import flatten_transcripts
 from nexlt_spark.index.build import build_index
 from nexlt_spark.index.packed import build_blocked_direct
-from nexlt_spark.query.exact import bm25_topk, paginate, run_query, score_postings
+from nexlt_spark.query.exact import (
+    bm25_topk,
+    filter_documents,
+    paginate,
+    run_query,
+    score_postings,
+)
 from nexlt_spark.query.ranged import phrase_score_ranged
 from nexlt_spark.query.model import Query, QueryFilters
 from nexlt_spark.query.planner import topk as planner_topk
@@ -125,9 +131,21 @@ def main():
             [F.col("score").desc(), F.col("doc_id").asc()], 0, 10,
         ).collect(),
         # cost-based routing (query/planner.py): decision from cached term
-        # metadata, zero planning jobs once warm — measures routed latency
+        # metadata, zero planning jobs once warm — measures routed latency.
+        # One planned variant per headline shape (VERDICT r2 #5): the
+        # generic flat-index plans above stay benched for coverage; these
+        # rows track the plan production would actually serve.
         "q_planned_or": lambda: planner_topk(
             bidx, ["spark", "index", "merge"], k=10, mode="or"
+        ).collect(),
+        "q_planned_and": lambda: planner_topk(
+            bidx, ["run", "file"], k=10, mode="and"
+        ).collect(),
+        "q_planned_filtered": lambda: planner_topk(
+            bidx, ["data"], k=10, mode="or",
+            doc_filter=filter_documents(
+                documents, QueryFilters(roles=["user", "assistant"])
+            ).select("doc_id"),
         ).collect(),
     }
 

@@ -26,10 +26,12 @@ from nexlt_spark.stemmer import porter_stem
 from nexlt_spark.stemmer_light import (
     FR_ELISION,
     IT_ELISION,
+    arabic_light_stem,
     french_light_stem,
     german_light_stem,
     italian_light_stem,
     portuguese_light_stem,
+    russian_light_stem,
     spanish_light_stem,
 )
 
@@ -72,6 +74,76 @@ def cjk_bigram_stream(toks: List[str]) -> List[str]:
         else:
             flush()
             out.append(t)
+    flush()
+    return out
+
+
+# --- Japanese (text_ja, schema.xml:725-768) -------------------------------
+# The reference tokenizes Japanese with Kuromoji (a statistical
+# morphological analyzer over a bundled dictionary) + JapaneseBaseForm +
+# CJKWidth + JapaneseKatakanaStem(min=4) + LowerCase. No morphological
+# dictionary ships in this container, so "ja_seg" is an honestly-labeled
+# dictionary-less APPROXIMATION of that chain's retrieval behavior:
+# script-run segmentation (NFKC gives the CJKWidthFilter fold) with
+#   - katakana runs kept whole (Kuromoji keeps loanwords whole) and
+#     stemmed by dropping a trailing long-sound ー at length ≥ 4 — the
+#     JapaneseKatakanaStemFilter rule, reproduced exactly;
+#   - han runs bigrammed (the standard dictionary-less recall fallback —
+#     what Solr's text_cjk does for ja);
+#   - hiragana runs bigrammed separately (never across scripts, unlike
+#     cjk_bigram — Kuromoji never merges a kanji stem with a particle);
+#   - romaji/digits as maximal lowercase runs.
+# Index and query sides share the function, so BM25 rank identity holds
+# like every other chain; Kuromoji-parity is explicitly NOT claimed.
+# escaped ranges: a literal U+F900 (compatibility ideograph) survives
+# editor/NFC round-trips as U+8C48, silently widening the class
+_KATA = "ァ-ヶーヽヾ"
+_HAN = "\u2e80-\u2eff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+_HIRA = "ぁ-ゟ"
+# trailing [_CJK] alternative: CJK chars outside the three ja scripts
+# (hangul etc.) pass through as single tokens instead of silently
+# vanishing from the token stream
+JA_TOKEN_RE = re.compile(
+    rf"[{_KATA}]+|[{_HAN}]|[{_HIRA}]|[{_CJK}]|[^\W_{_CJK}]+", re.UNICODE
+)
+_KATA_SET = re.compile(rf"^[{_KATA}]")
+_HAN_SINGLE = re.compile(rf"^[{_HAN}]$")
+_HIRA_SINGLE = re.compile(rf"^[{_HIRA}]$")
+
+
+def ja_stream(toks: List[str]) -> List[str]:
+    """Bigram han and hiragana runs (each script separately), katakana-stem
+    and pass katakana runs, pass everything else."""
+    out: List[str] = []
+    run: List[str] = []
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        elif run:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    mode = ""  # current run's script ("han" | "hira")
+    for t in toks:
+        if _HAN_SINGLE.match(t):
+            if mode != "han":
+                flush()
+                mode = "han"
+            run.append(t)
+        elif _HIRA_SINGLE.match(t):
+            if mode != "hira":
+                flush()
+                mode = "hira"
+            run.append(t)
+        else:
+            flush()
+            mode = ""
+            if _KATA_SET.match(t):
+                # JapaneseKatakanaStemFilter: drop ONE trailing ー at len ≥ 4
+                out.append(t[:-1] if len(t) >= 4 and t.endswith("ー") else t)
+            else:
+                out.append(t)
     flush()
     return out
 
@@ -125,6 +197,11 @@ ANALYZERS = {
         token_map=_elide_then(IT_ELISION, italian_light_stem), stream_map=_drop_empty
     ),
     "pt_light": Chain(token_map=portuguese_light_stem),
+    # the highest-value non-European remainders (VERDICT r2 #6):
+    # text_ar schema.xml:466-476, text_ru :827-837, text_ja :725-768
+    "ar_light": Chain(token_map=arabic_light_stem),
+    "ru_light": Chain(token_map=russian_light_stem),
+    "ja_seg": Chain(regex=JA_TOKEN_RE, stream_map=ja_stream),
 }
 
 # The same tokenizer expressed as an ANSI-SQL expression for the DuckDB

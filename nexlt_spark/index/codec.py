@@ -22,23 +22,34 @@ BLOCK_SIZE = 128
 _MAX_VARINT_BYTES = 10
 
 
+def _varint_width(v: np.ndarray) -> int:
+    """Bytes needed by the widest value: ⌈bit_length/7⌉ (≥1). Sizing the
+    work matrix to the ACTUAL width instead of the 10-byte worst case is
+    the codec's main allocation cut — tf/dl streams are 1-2 bytes wide,
+    doc-delta streams 1-4, so the zeros+mask traffic shrinks 3-10×
+    (encode-phase scaling, BENCH.md §5)."""
+    mx = int(v.max())
+    return max(1, (mx.bit_length() + 6) // 7)
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode an array of non-negative ints (vectorized)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    out = np.zeros((v.size, _MAX_VARINT_BYTES), dtype=np.uint8)
+    w = _varint_width(v)
+    if w == 1:
+        return v.astype(np.uint8).tobytes()  # every value < 128: identity
+    out = np.empty((v.size, w), dtype=np.uint8)
     nbytes = np.ones(v.size, dtype=np.int64)
-    for i in range(_MAX_VARINT_BYTES):
+    for i in range(w):
         shifted = v >> np.uint64(7 * i)
         byte = (shifted & np.uint64(0x7F)).astype(np.uint8)
-        more = (v >> np.uint64(7 * (i + 1))) > 0 if i + 1 < _MAX_VARINT_BYTES else np.zeros(v.size, bool)
+        more = (v >> np.uint64(7 * (i + 1))) > 0 if i + 1 < w else np.zeros(v.size, bool)
         out[:, i] = byte | (more.astype(np.uint8) << 7)
         if i > 0:
             nbytes += (shifted > 0).astype(np.int64)
-        if not more.any():
-            break
-    mask = np.arange(_MAX_VARINT_BYTES)[None, :] < nbytes[:, None]
+    mask = np.arange(w)[None, :] < nbytes[:, None]
     return out[mask].tobytes()
 
 
@@ -87,18 +98,19 @@ def _varint_encode_with_offsets(values: np.ndarray) -> Tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(1, dtype=np.int64)
-    out = np.zeros((v.size, _MAX_VARINT_BYTES), dtype=np.uint8)
+    w = _varint_width(v)
+    if w == 1:
+        return v.astype(np.uint8).tobytes(), np.arange(v.size + 1, dtype=np.int64)
+    out = np.empty((v.size, w), dtype=np.uint8)
     nbytes = np.ones(v.size, dtype=np.int64)
-    for i in range(_MAX_VARINT_BYTES):
+    for i in range(w):
         shifted = v >> np.uint64(7 * i)
         byte = (shifted & np.uint64(0x7F)).astype(np.uint8)
-        more = (v >> np.uint64(7 * (i + 1))) > 0 if i + 1 < _MAX_VARINT_BYTES else np.zeros(v.size, bool)
+        more = (v >> np.uint64(7 * (i + 1))) > 0 if i + 1 < w else np.zeros(v.size, bool)
         out[:, i] = byte | (more.astype(np.uint8) << 7)
         if i > 0:
             nbytes += (shifted > 0).astype(np.int64)
-        if not more.any():
-            break
-    mask = np.arange(_MAX_VARINT_BYTES)[None, :] < nbytes[:, None]
+    mask = np.arange(w)[None, :] < nbytes[:, None]
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     return out[mask].tobytes(), offsets
@@ -127,9 +139,39 @@ def encode_blocks(
     numpy calls on Zipf-head posting lists (and less python time means
     the groupBy-encode stage scales with cores instead of flatlining).
     """
+    cols = encode_blocks_columns(doc_ids, tfs, dls, tf_norms, block_size)
+    if cols is None:
+        return []
+    return list(
+        zip(
+            cols["block_id"].tolist(),
+            cols["n"].tolist(),
+            cols["first_doc_id"].tolist(),
+            cols["last_doc_id"].tolist(),
+            cols["doc_ids"],
+            cols["tfs"],
+            cols["dls"],
+            cols["max_tfnorm"].tolist(),
+        )
+    )
+
+
+def encode_blocks_columns(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    tf_norms: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """encode_blocks, column-oriented: returns a dict of numpy arrays
+    (+ lists of bytes for the payload columns) instead of a list of
+    python row tuples, or None for empty input. Byte-identical payloads;
+    exists because building the output pandas frame from columns is ~5×
+    cheaper than from row tuples (55% of the old encode kernel's time
+    was pd.DataFrame(list-of-tuples) — BENCH.md §5)."""
     n = len(doc_ids)
     if n == 0:
-        return []
+        return None
     ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
@@ -148,22 +190,16 @@ def encode_blocks(
     buf_dls, off_dls = _varint_encode_with_offsets(dls)
     maxes = np.maximum.reduceat(tfn, starts)
 
-    rows = []
-    for b in range(len(starts)):
-        s, e = int(starts[b]), int(ends[b])
-        rows.append(
-            (
-                b,
-                e - s,
-                int(ids[s]),
-                int(ids[e - 1]),
-                buf_ids[off_ids[s] : off_ids[e]],
-                buf_tfs[off_tfs[s] : off_tfs[e]],
-                buf_dls[off_dls[s] : off_dls[e]],
-                float(maxes[b]),
-            )
-        )
-    return rows
+    return {
+        "block_id": np.arange(len(starts), dtype=np.int64),
+        "n": (ends - starts).astype(np.int32),
+        "first_doc_id": ids[starts].astype(np.int64),
+        "last_doc_id": ids[ends - 1].astype(np.int64),
+        "doc_ids": [buf_ids[off_ids[s] : off_ids[e]] for s, e in zip(starts, ends)],
+        "tfs": [buf_tfs[off_tfs[s] : off_tfs[e]] for s, e in zip(starts, ends)],
+        "dls": [buf_dls[off_dls[s] : off_dls[e]] for s, e in zip(starts, ends)],
+        "max_tfnorm": maxes,
+    }
 
 
 def encode_positions_blocks(

@@ -225,6 +225,116 @@ def _emit_packed(
     return emit
 
 
+def _merge_group_core(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    ns: np.ndarray,
+    pos_flat: Optional[np.ndarray],
+    avgdl: float,
+    block_size: int,
+    positions: bool,
+):
+    """One (term, rsalt) group of concatenated runs → block column dict
+    (codec.encode_blocks_columns shape, plus "pos" when positions) or
+    None. Pure numpy — shared by the per-group applyInPandas kernel and
+    the streamed multi-group kernel so their stores are byte-identical.
+
+    Merge: each run arrives docID-ascending and runs from different
+    batches cover disjoint doc spans (flatten assigns contiguous docIDs
+    per partition), so ordering runs by first docID and CONCATENATING is
+    the merge — O(runs log runs) instead of an O(n log n) argsort+gather
+    over all postings. Falls back to the full argsort if spans overlap.
+    """
+    from nexlt_spark.index.codec import encode_blocks_columns, encode_positions_blocks
+
+    run_starts = np.zeros(len(ns), dtype=np.int64)
+    np.cumsum(ns[:-1], out=run_starts[1:])
+    run_ends = run_starts + ns
+    first, last = ids[run_starts], ids[run_ends - 1]
+    ro = np.argsort(first, kind="stable")
+    fo, lo_ = first[ro], last[ro]
+    if len(ns) == 1:
+        order = None
+    elif np.all(lo_[:-1] < fo[1:]):
+        lens = ns[ro]
+        out_starts = np.zeros(len(ns), dtype=np.int64)
+        np.cumsum(lens[:-1], out=out_starts[1:])
+        order = (
+            np.arange(len(ids), dtype=np.int64)
+            - np.repeat(out_starts, lens)
+            + np.repeat(run_starts[ro], lens)
+        )
+    else:
+        order = np.argsort(ids, kind="stable")
+    pos_sorted = None
+    if positions:
+        tfs64 = tfs.astype(np.int64)
+        if order is None:
+            pos_sorted = pos_flat.astype(np.int64)
+        else:
+            # token-level gather mirroring the posting gather: each
+            # ordered posting contributes its contiguous token span
+            tok_bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(tfs64, out=tok_bounds[1:])
+            tlens = tfs64[order]
+            touts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(tlens[:-1], out=touts[1:])
+            tok_new = (
+                np.arange(tok_bounds[-1], dtype=np.int64)
+                - np.repeat(touts, tlens)
+                + np.repeat(tok_bounds[order], tlens)
+            )
+            pos_sorted = pos_flat[tok_new].astype(np.int64)
+    if order is not None:
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+    tfd = tfs.astype(np.float64)
+    dld = dls.astype(np.float64)
+    tfn = (tfd * K1_PLUS_1) / (tfd + K1 * (ONE_MINUS_B + (B_PARAM * dld) / avgdl))
+    cols = encode_blocks_columns(
+        ids.astype(np.uint64), tfs.astype(np.uint64), dls.astype(np.uint64), tfn, block_size
+    )
+    if cols is not None and positions:
+        cols["pos"] = encode_positions_blocks(pos_sorted, tfs.astype(np.int64), block_size)
+    return cols
+
+
+def _group_arrays(pdf: pd.DataFrame, positions: bool, wire: str, sl=slice(None)):
+    """pdf rows [sl] (one (term,rsalt) group of packed runs) → flat
+    (ids, tfs, dls, ns, pos_flat) numpy arrays, wire-decoded."""
+    from nexlt_spark.index.codec import decode_block_rows, decode_positions_rows
+
+    ns = pdf["n"].to_numpy(np.int64)[sl]
+    if wire == "varint":
+        _, uids, utfs, udls = decode_block_rows(
+            [bytes(x) for x in pdf["doc_ids"].iloc[sl]],
+            [bytes(x) for x in pdf["tfs"].iloc[sl]],
+            [bytes(x) for x in pdf["dls"].iloc[sl]],
+            ns,
+        )
+        ids = uids.astype(np.int64)
+        tfs = utfs.astype(np.int32)
+        dls = udls.astype(np.int32)
+    else:
+        ids = np.frombuffer(b"".join(pdf["doc_ids"].iloc[sl]), dtype=np.int64)
+        tfs = np.frombuffer(b"".join(pdf["tfs"].iloc[sl]), dtype=np.int32)
+        dls = np.frombuffer(b"".join(pdf["dls"].iloc[sl]), dtype=np.int32)
+    pos_flat = None
+    if positions:
+        if wire == "varint":
+            pos_flat = decode_positions_rows(
+                [bytes(x) for x in pdf["pos"].iloc[sl]], tfs.astype(np.int64)
+            )
+        else:
+            pos_flat = np.frombuffer(b"".join(pdf["pos"].iloc[sl]), dtype=np.int32)
+    return ids, tfs, dls, ns, pos_flat
+
+
+_BLOCK_COL_NAMES = [
+    "block_id", "n", "first_doc_id", "last_doc_id", "doc_ids", "tfs", "dls", "max_tfnorm",
+]
+
+
 def _encode_packed(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
@@ -237,97 +347,105 @@ def _encode_packed(
     (north_star wording), on arrays instead of rows. `wire` must match
     the emit side (_emit_packed).
     """
-    from nexlt_spark.index.codec import (
-        decode_block_rows,
-        decode_positions_rows,
-        encode_positions_blocks,
-    )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        ns = pdf["n"].to_numpy(np.int64)
-        if wire == "varint":
-            _, uids, utfs, udls = decode_block_rows(
-                [bytes(x) for x in pdf["doc_ids"]],
-                [bytes(x) for x in pdf["tfs"]],
-                [bytes(x) for x in pdf["dls"]],
-                ns,
-            )
-            ids = uids.astype(np.int64)
-            tfs = utfs.astype(np.int32)
-            dls = udls.astype(np.int32)
-        else:
-            ids = np.frombuffer(b"".join(pdf["doc_ids"]), dtype=np.int64)
-            tfs = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.int32)
-            dls = np.frombuffer(b"".join(pdf["dls"]), dtype=np.int32)
-        # merge runs: each run arrives docID-ascending and runs from
-        # different batches cover disjoint doc spans (flatten assigns
-        # contiguous docIDs per partition), so ordering runs by first
-        # docID and CONCATENATING is the merge — O(runs log runs)
-        # instead of an O(n log n) argsort+gather over all postings.
-        # Falls back to the full argsort if spans ever overlap.
-        run_starts = np.zeros(len(ns), dtype=np.int64)
-        np.cumsum(ns[:-1], out=run_starts[1:])
-        run_ends = run_starts + ns
-        first, last = ids[run_starts], ids[run_ends - 1]
-        ro = np.argsort(first, kind="stable")
-        fo, lo_ = first[ro], last[ro]
-        if len(ns) == 1:
-            order = None
-        elif np.all(lo_[:-1] < fo[1:]):
-            lens = ns[ro]
-            out_starts = np.zeros(len(ns), dtype=np.int64)
-            np.cumsum(lens[:-1], out=out_starts[1:])
-            order = (
-                np.arange(len(ids), dtype=np.int64)
-                - np.repeat(out_starts, lens)
-                + np.repeat(run_starts[ro], lens)
-            )
-        else:
-            order = np.argsort(ids, kind="stable")
-        if positions:
-            tfs64 = tfs.astype(np.int64)
-            if wire == "varint":
-                pos_flat = decode_positions_rows([bytes(x) for x in pdf["pos"]], tfs64)
-            else:
-                pos_flat = np.frombuffer(b"".join(pdf["pos"]), dtype=np.int32)
-            if order is None:
-                pos_sorted = pos_flat.astype(np.int64)
-            else:
-                # token-level gather mirroring the posting gather: each
-                # ordered posting contributes its contiguous token span
-                tok_bounds = np.zeros(len(ids) + 1, dtype=np.int64)
-                np.cumsum(tfs64, out=tok_bounds[1:])
-                tlens = tfs64[order]
-                touts = np.zeros(len(ids), dtype=np.int64)
-                np.cumsum(tlens[:-1], out=touts[1:])
-                tok_new = (
-                    np.arange(tok_bounds[-1], dtype=np.int64)
-                    - np.repeat(touts, tlens)
-                    + np.repeat(tok_bounds[order], tlens)
-                )
-                pos_sorted = pos_flat[tok_new].astype(np.int64)
-        if order is not None:
-            ids, tfs, dls = ids[order], tfs[order], dls[order]
-        tfd = tfs.astype(np.float64)
-        dld = dls.astype(np.float64)
-        tfn = (tfd * K1_PLUS_1) / (tfd + K1 * (ONE_MINUS_B + (B_PARAM * dld) / avgdl))
-        rows = encode_blocks(
-            ids.astype(np.uint64), tfs.astype(np.uint64), dls.astype(np.uint64), tfn, block_size
+        cols = _merge_group_core(
+            *_group_arrays(pdf, positions, wire), avgdl, block_size, positions
         )
-        term = pdf["term"].iloc[0]
-        rsalt = int(pdf["rsalt"].iloc[0])
-        out = pd.DataFrame(
-            [(term, rsalt) + r for r in rows],
-            columns=[
-                "term", "rsalt", "block_id", "n", "first_doc_id", "last_doc_id",
-                "doc_ids", "tfs", "dls", "max_tfnorm",
-            ],
-        )
-        if positions:
-            out["pos"] = encode_positions_blocks(pos_sorted, tfs.astype(np.int64), block_size)
-        return out
+        names = _BLOCK_COL_NAMES + (["pos"] if positions else [])
+        if cols is None:
+            return pd.DataFrame({k: [] for k in ["term", "rsalt"] + names})
+        nb = len(cols["block_id"])
+        out = {"term": np.full(nb, pdf["term"].iloc[0], dtype=object),
+               "rsalt": np.full(nb, int(pdf["rsalt"].iloc[0]), dtype=np.int64)}
+        for k in names:
+            out[k] = cols[k]
+        return pd.DataFrame(out)
 
     return encode
+
+
+def _encode_packed_stream(
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+    positions: bool = False,
+    wire: str = "raw",
+):
+    """mapInPandas kernel over partitions SORTED by (term, rsalt): the
+    same merge as _encode_packed, but many groups per Arrow batch with
+    ONE output frame per batch — no per-group pandas/Arrow framing.
+
+    Physically identical dataflow to groupBy.applyInPandas (hash
+    exchange on (term, rsalt) + in-partition sort), minus the per-group
+    overhead that dominated the encode phase at Zipf-tail group sizes
+    (BENCH.md §5). A group spanning Arrow batch boundaries is carried:
+    each batch's trailing (possibly incomplete) group is held back and
+    prepended to the next batch; the final carry flushes at exhaustion.
+    """
+
+    def encode_stream(batches):
+        carry: Optional[pd.DataFrame] = None
+        names = _BLOCK_COL_NAMES + (["pos"] if positions else [])
+
+        def flush(pdf: pd.DataFrame):
+            terms = pdf["term"].to_numpy(object)
+            rsalts = pdf["rsalt"].to_numpy(np.int64)
+            # group boundaries in the sorted stream
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            if len(pdf) > 1:
+                change[1:] = (terms[1:] != terms[:-1]) | (rsalts[1:] != rsalts[:-1])
+            gstarts = np.flatnonzero(change)
+            gends = np.concatenate((gstarts[1:], [len(pdf)]))
+            parts = {k: [] for k in ["term", "rsalt"] + names}
+            for s, e in zip(gstarts, gends):
+                cols = _merge_group_core(
+                    *_group_arrays(pdf, positions, wire, slice(int(s), int(e))),
+                    avgdl, block_size, positions,
+                )
+                if cols is None:
+                    continue
+                nb = len(cols["block_id"])
+                parts["term"].append(np.full(nb, terms[s], dtype=object))
+                parts["rsalt"].append(np.full(nb, rsalts[s], dtype=np.int64))
+                for k in names:
+                    parts[k].append(cols[k])
+            if not parts["term"]:
+                return None
+            out = {}
+            for k, chunks in parts.items():
+                if isinstance(chunks[0], np.ndarray):
+                    out[k] = np.concatenate(chunks)
+                else:  # payload byte lists
+                    out[k] = [b for chunk in chunks for b in chunk]
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            terms = pdf["term"].to_numpy(object)
+            rsalts = pdf["rsalt"].to_numpy(np.int64)
+            # hold back the trailing group — it may continue next batch
+            last_t, last_r = terms[-1], rsalts[-1]
+            tail_mask = (terms == last_t) & (rsalts == last_r)
+            # rows of the last group are contiguous (sorted input): the
+            # tail starts at the first index of the run ending at len-1
+            tail_start = len(pdf) - int(tail_mask[::-1].argmin() or len(pdf))
+            carry = pdf.iloc[tail_start:].reset_index(drop=True)
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                out = flush(head)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if out is not None:
+                yield out
+
+    return encode_stream
 
 
 def _unpack_doc_stats(packed_sentinels: DataFrame) -> DataFrame:
@@ -354,6 +472,7 @@ def build_blocked_direct(
     persist_packed: bool = True,
     positions: bool = False,
     wire: str = "raw",
+    group_exec: str = "stream",
 ) -> BlockedIndex:
     """documents → BlockedIndex in one packed pipeline (the scale path).
 
@@ -365,6 +484,11 @@ def build_blocked_direct(
     wire="varint" compresses the run payloads BEFORE the emit→encode
     exchange (see _emit_packed — choose it when the shuffle crosses a
     real network; raw wins on loopback/tmpfs shuffles).
+    group_exec: "stream" (default) encodes via repartition+sort+
+    mapInPandas — same exchange and in-partition sort the groupBy plan
+    runs, but many groups per Arrow batch (no per-group framing);
+    "grouped" is the literal groupBy(term, rsalt).applyInPandas form.
+    Both produce byte-identical stores (asserted in tests).
     """
     packed = documents.select(doc_id_col, text_col).mapInPandas(
         _emit_packed(doc_id_col, text_col, analyzer, range_shift, positions, wire),
@@ -386,10 +510,20 @@ def build_blocked_direct(
 
     from nexlt_spark.index.blocks import BLOCKS_SCHEMA_POS
 
-    blocks = posts.groupBy("term", "rsalt").applyInPandas(
-        _encode_packed(stats.avgdl, block_size, positions, wire),
-        schema=BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA,
-    )
+    out_schema = BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA
+    if group_exec == "grouped":
+        blocks = posts.groupBy("term", "rsalt").applyInPandas(
+            _encode_packed(stats.avgdl, block_size, positions, wire), schema=out_schema
+        )
+    else:
+        blocks = (
+            posts.repartition("term", "rsalt")
+            .sortWithinPartitions("term", "rsalt")
+            .mapInPandas(
+                _encode_packed_stream(stats.avgdl, block_size, positions, wire),
+                schema=out_schema,
+            )
+        )
     return BlockedIndex(
         blocks=blocks,
         doc_stats=doc_stats,

@@ -117,6 +117,50 @@ def cached_topk(
     return rows[q.start : need]
 
 
+_DOC_CACHE_ATTR = "_document_cache"
+DOC_CACHE_SIZE = 512  # solrconfig.xml:549-553 documentCache size=512
+
+
+def cached_fetch(
+    index,
+    documents,
+    ids: List[int],
+    cache_size: int = DOC_CACHE_SIZE,
+) -> dict:
+    """doc_id → full stored row (as dict), with documentCache semantics
+    (solrconfig.xml:549-553): rows fetched once per searcher are served
+    driver-side on every later request that pages over them. Only the
+    MISSING ids go to Spark (one ``doc_id IN (…)`` row-group-pruned
+    point read); a fully-cached request issues NO job at all — which is
+    exactly how a Solr page repeat behaves (queryResultCache window +
+    documentCache rows, zero index reads)."""
+    cache = getattr(index, _DOC_CACHE_ATTR, None)
+    if cache is None:
+        cache = OrderedDict()
+        setattr(index, _DOC_CACHE_ATTR, cache)
+    missing = [i for i in ids if i not in cache]
+    if missing:
+        from pyspark.sql import functions as F
+
+        for r in documents.where(F.col("doc_id").isin(missing)).collect():
+            d = r.asDict()
+            cache[d["doc_id"]] = d
+        while len(cache) > cache_size:
+            cache.popitem(last=False)
+    out = {}
+    for i in ids:
+        if i in cache:
+            cache.move_to_end(i)  # LRU touch
+            out[i] = cache[i]
+    return out
+
+
 def cache_stats(index) -> dict:
     c = getattr(index, _CACHE_ATTR, None)
-    return {"entries": len(c) if c else 0, "size_limit": DEFAULT_CACHE_SIZE}
+    d = getattr(index, _DOC_CACHE_ATTR, None)
+    return {
+        "entries": len(c) if c else 0,
+        "size_limit": DEFAULT_CACHE_SIZE,
+        "doc_entries": len(d) if d else 0,
+        "doc_size_limit": DOC_CACHE_SIZE,
+    }

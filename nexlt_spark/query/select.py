@@ -205,6 +205,69 @@ def matching_docs(index, documents: DataFrame, query: Query) -> DataFrame:
     return base
 
 
+def select_rows(
+    index,
+    documents: DataFrame,
+    q: str = "*:*",
+    fq: Sequence[str] = (),
+    start: int = 0,
+    rows: int = 10,
+    sort: Optional[List[Tuple[str, str]]] = None,
+    fl: Optional[List[str]] = None,
+    default_field: str = "text",
+    synonyms: Optional[Dict[str, List[str]]] = None,
+    use_cache: bool = True,
+) -> List[dict]:
+    """The eager /select page — list of response dicts in rank order —
+    with the handler-level caches WIRED IN (solrconfig.xml:534-558: this
+    is where Solr's queryResultCache/documentCache live, on the handler
+    serving the request, not beside it).
+
+    Relevance-ranked requests serve through query.cache.cached_topk
+    (rank window, queryResultWindowSize over-fetch) + cached_fetch
+    (stored rows): the FIRST request runs the two-phase plan (rank
+    top-window, ``doc_id IN`` point fetch); a REPEAT of the same (q, fq)
+    page — or the next page inside the cached window — issues ZERO Spark
+    jobs, exactly Solr's repeat-page behavior (asserted in
+    tests/test_select.py by job-group count). Caches live on the index
+    snapshot and die with it (reopen = new searcher = cold caches,
+    autowarm 0). Sorted / count / match-all requests take the lazy
+    select() plans and collect — single-scan jobs with no rank window to
+    reuse. Accepts any index exposing the flat surface, including
+    index.sharded.ShardedIndex (distributed shards behind one handler —
+    solrconfig.xml:837-838).
+    """
+    from nexlt_spark.query.cache import cached_fetch, cached_topk
+
+    an = getattr(index, "analyzer", "standard")
+    query = parse_request(
+        q, fq, start=start, rows=rows, sort=sort, fl=fl,
+        default_field=default_field, synonyms=synonyms, analyzer=an,
+    )
+    cacheable = (
+        use_cache
+        and not query.sort
+        and not getattr(query, "count_only", False)
+        and bool(query.terms or query.phrase)
+    )
+    if not cacheable:
+        return [r.asDict() for r in run_query(index, documents, query).collect()]
+    ranked = cached_topk(index, documents, query)
+    ids = [d for d, _ in ranked]
+    fetched = cached_fetch(index, documents, ids)
+    flds = query.fl or [c for c in documents.columns if c != "doc_id"]
+    out = []
+    for d, s in ranked:
+        row = fetched.get(d)
+        if row is None:
+            continue
+        rec = {"doc_id": d}
+        rec.update({k: row[k] for k in flds if k in row})
+        rec["score"] = s
+        out.append(rec)
+    return out
+
+
 def select(
     index,
     documents: DataFrame,

@@ -185,3 +185,90 @@ def italian_light_stem(w: str) -> str:
     if w[-1] in "ieoa":
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Arabic: ArabicNormalizationFilter + ArabicStemFilter analog
+# (schema.xml:466-476; the Lucene stemmer implements Larkey/Ballesteros/
+# Connell's published "light10" approach — normalization + one layer of
+# definite-article prefixes and plural/feminine suffixes, never roots)
+# ---------------------------------------------------------------------------
+
+# tashkeel (harakat) diacritics + tatweel, removed wholesale
+_AR_DIACRITICS = dict.fromkeys(map(ord, "ًٌٍَُِّْـ"))
+_AR_FOLD = str.maketrans(
+    {
+        "آ": "ا",  # alef madda  آ → ا
+        "أ": "ا",  # alef hamza above أ → ا
+        "إ": "ا",  # alef hamza below إ → ا
+        "ٱ": "ا",  # alef wasla  ٱ → ا
+        "ى": "ي",  # alef maksura ى → ي
+        "ة": "ه",  # teh marbuta  ة → ه
+    }
+)
+
+# light10 prefix set (longest first); strip at most one, and only when a
+# stem of ≥2 chars remains
+_AR_PREFIXES = ("وال", "بال", "كال",
+                "فال", "ال", "لل", "و")
+# light10 suffix set, checked repeatedly longest-first while ≥2 chars remain
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون",
+                "ين", "يه", "ية", "ه",
+                "ة", "ي")
+
+
+def arabic_normalize(w: str) -> str:
+    """Diacritic/tatweel removal + letter folding (the
+    ArabicNormalizationFilter step — "normalizes ﻯ to ﻱ, etc")."""
+    return w.translate(_AR_DIACRITICS).translate(_AR_FOLD)
+
+
+def arabic_light_stem(w: str) -> str:
+    w = arabic_normalize(w)
+    for p in _AR_PREFIXES:
+        if w.startswith(p) and len(w) - len(p) >= 2:
+            w = w[len(p):]
+            break
+    changed = True
+    while changed:
+        changed = False
+        for s in _AR_SUFFIXES:
+            if w.endswith(s) and len(w) - len(s) >= 2:
+                w = w[: -len(s)]
+                changed = True
+                break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Russian: light-stem analog of the text_ru chain (schema.xml:827-837 —
+# the reference ships SnowballPorter(Russian) with RussianLightStemFilter
+# noted as the less-aggressive alternative; we model the light variant:
+# one layer of noun/adjective number+case inflection with minimum-stem
+# guards, which is the collapse retrieval ranking depends on)
+# ---------------------------------------------------------------------------
+
+# inflection endings, longest first: adjective (-ыми/-ого/-ему/…), then
+# noun plural/case (-ами/-ях/-ов/…), then single theme vowels
+_RU_ENDINGS = (
+    "ыми", "ими", "ами", "ями",  # ыми ими ами ями
+    "ого", "его", "ому", "ему",  # ого его ому ему
+    "ых", "их", "ах", "ях",  # ых их ах ях
+    "ый", "ий", "ой", "ей",  # ый ий ой ей
+    "ая", "яя", "ое", "ее",  # ая яя ое ее
+    "ые", "ие", "ов", "ев",  # ые ие ов ев
+    "ам", "ям", "ом", "ем", "ия",  # ам ям ом ем ия
+    "а", "я", "ы", "и", "о", "е", "у", "ю", "й", "ь",  # а я ы и о е у ю й ь
+)
+
+
+def russian_light_stem(w: str) -> str:
+    w = w.replace("ё", "е")  # ё → е (standard Russian folding)
+    for s in _RU_ENDINGS:
+        if w.endswith(s) and len(w) - len(s) >= 3:
+            w = w[: -len(s)]
+            break
+    # collapse residual soft/plural glide left by two-char endings (книгы→книг)
+    if len(w) > 3 and w[-1] in "йь":
+        w = w[:-1]
+    return w

@@ -1,0 +1,138 @@
+"""Arabic / Russian / Japanese chains (text_ar, text_ru, text_ja analogs).
+
+Same contract as the European light chains (stemmer_light docstring):
+inflection groups collapse to one key, index and query share the exact
+function, rank identity vs the pure-Python oracle. Kuromoji parity for
+ja_seg is explicitly NOT claimed (dictionary-less approximation —
+analysis.py ja_seg comment block).
+"""
+
+import pytest
+
+from nexlt_spark.analysis import ANALYZERS, ja_stream, tokenize
+from nexlt_spark.stemmer_light import (
+    arabic_light_stem,
+    arabic_normalize,
+    russian_light_stem,
+)
+
+AR_GROUPS = [
+    ["كتاب", "الكتاب", "كتابه", "والكتاب"],  # book: bare/definite/possessive/conj
+    ["معلم", "المعلم", "معلمون", "معلمين", "معلمة"],  # teacher + plurals/fem
+    ["مدرسة", "المدرسة", "مدرسات"],  # school (teh marbuta) + sound plural
+]
+
+RU_GROUPS = [
+    ["книга", "книги", "книгу", "книгой", "книгах", "книгами"],
+    ["перевод", "переводы", "переводов", "переводам", "переводами"],
+    ["новый", "новая", "новое", "новые", "нового", "новыми"],
+    ["ёлка", "елка", "елки"],  # ё folding
+]
+
+
+@pytest.mark.parametrize("group", AR_GROUPS, ids=lambda g: g[0])
+def test_arabic_groups_collapse(group):
+    assert len({arabic_light_stem(w) for w in group}) == 1
+
+
+@pytest.mark.parametrize("group", RU_GROUPS, ids=lambda g: g[0])
+def test_russian_groups_collapse(group):
+    assert len({russian_light_stem(w) for w in group}) == 1
+
+
+def test_arabic_normalization_folds():
+    # alef variants + maksura + teh marbuta + diacritics/tatweel
+    assert arabic_normalize("أَلْكِتَاب") == "الكتاب"
+    assert arabic_normalize("إمام") == arabic_normalize("امام")
+    assert arabic_normalize("مصطفى")[-1] == "ي"
+    assert arabic_normalize("كـــتاب") == "كتاب"
+
+
+def test_unrelated_stay_apart():
+    assert arabic_light_stem("كتاب") != arabic_light_stem("قلم")
+    assert russian_light_stem("книга") != russian_light_stem("нога")
+    assert russian_light_stem("стол") != russian_light_stem("стул")
+
+
+def test_ja_katakana_stem_rule():
+    # JapaneseKatakanaStemFilter: drop ONE trailing ー at len >= 4 only
+    assert tokenize("コンピューター", "ja_seg") == ["コンピュータ"]
+    assert tokenize("ソニー", "ja_seg") == ["ソニー"]  # len 3: kept
+    assert tokenize("タワー", "ja_seg") == ["タワー"]  # len 3: kept
+    # halfwidth katakana folds via NFKC (the CJKWidthFilter step)
+    assert tokenize("ｺﾝﾋﾟｭｰﾀ", "ja_seg") == ["コンピュータ"]
+
+
+def test_ja_scripts_bigram_separately():
+    # han and hiragana runs never merge into one bigram stream
+    assert tokenize("日本語の文書です", "ja_seg") == ["日本", "本語", "の", "文書", "です"]
+    # lone kanji passes through; romaji lowercases as maximal runs
+    assert tokenize("本", "ja_seg") == ["本"]
+    assert tokenize("東京タワーはTokyo Towerです", "ja_seg") == [
+        "東京", "タワー", "は", "tokyo", "tower", "です"
+    ]
+
+
+def test_ja_stream_is_pure_stream_map():
+    # chain registered as a pure stream chain → the batch emit kernels'
+    # vectorized path (analysis.batch_token_codes) applies
+    spec = ANALYZERS["ja_seg"]
+    assert spec.token_map is None and spec.stream_map is ja_stream
+
+
+def test_registry_complete():
+    for name in ("ar_light", "ru_light", "ja_seg"):
+        assert name in ANALYZERS
+
+
+def test_chain_equals_mapped_standard_chain():
+    text = "الكتاب الجديد"
+    assert tokenize(text, "ar_light") == [arabic_light_stem(t) for t in tokenize(text)]
+    text = "Новые переводы"
+    assert tokenize(text, "ru_light") == [russian_light_stem(t) for t in tokenize(text)]
+
+
+@pytest.fixture(scope="module")
+def intl_corpus(spark):
+    rows = [
+        (0, "الكتاب الجديد في المدرسة"),
+        (1, "كتاب قديم عن التاريخ"),
+        (2, "موضوع آخر لا علاقة له"),
+        (3, "новые переводы книги готовы"),
+        (4, "перевод старой книги"),
+        (5, "совсем другая тема"),
+        (6, "コンピューターで日本語の文書を作成"),
+        (7, "コンピュータと機械学習の話"),
+        (8, "全く関係ない話題"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize(
+    "analyzer,query,want_docs",
+    [
+        ("ar_light", ["والكتاب"], {0, 1}),      # conj+definite form reaches both books
+        ("ru_light", ["переводами"], {3, 4}),   # instrumental plural reaches both
+        ("ja_seg", ["コンピューター"], {6, 7}),  # ー-stem merges both spellings
+    ],
+)
+def test_intl_end_to_end_rank_identity(intl_corpus, analyzer, query, want_docs):
+    """Index with the chain; an inflected query reaches docs containing
+    only other surface forms, and engine ranks == pure-Python oracle."""
+    from nexlt_spark.index.build import build_index
+    from nexlt_spark.oracle import OracleIndex
+    from nexlt_spark.query.exact import bm25_topk
+    from nexlt_spark.query.model import Query
+
+    idx = build_index(intl_corpus, analyzer=analyzer).persist()
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(idx, intl_corpus, Query(terms=query, k=10))
+        .select("doc_id", "score")
+        .collect()
+    ]
+    assert {d for d, _ in got} == want_docs
+    rows = [r.asDict() for r in intl_corpus.collect()]
+    oracle = OracleIndex(rows, analyzer=analyzer)
+    want = [(d, round(s, 9)) for d, s in oracle.topk(Query(terms=query, k=10))]
+    assert got == want

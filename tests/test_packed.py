@@ -100,3 +100,20 @@ def test_packed_save_load_roundtrip(spark, packed_idx, index, tmp_path):
     assert loaded.analyzer == "standard"
     terms = ["the", "error", "data"]
     assert _decoded(loaded, terms) == _decoded(packed_idx, terms)
+
+
+@pytest.mark.parametrize("positions,wire", [(False, "raw"), (True, "raw"), (True, "varint")])
+def test_stream_encode_identical_to_grouped(documents, positions, wire):
+    """group_exec="stream" (repartition+sort+mapInPandas multi-group
+    kernel) must produce BYTE-IDENTICAL block rows to the literal
+    groupBy.applyInPandas form — same merge core, different framing."""
+    a = build_blocked_direct(documents, positions=positions, wire=wire, group_exec="stream")
+    b = build_blocked_direct(documents, positions=positions, wire=wire, group_exec="grouped")
+    cols = ["term", "rsalt", "block_id", "n", "first_doc_id", "last_doc_id",
+            "doc_ids", "tfs", "dls", "max_tfnorm"] + (["pos"] if positions else [])
+    rows_a = sorted(tuple(bytes(x) if isinstance(x, (bytes, bytearray)) else x for x in r)
+                    for r in a.blocks.select(*cols).collect())
+    rows_b = sorted(tuple(bytes(x) if isinstance(x, (bytes, bytearray)) else x for x in r)
+                    for r in b.blocks.select(*cols).collect())
+    assert rows_a == rows_b
+    assert a.stats == b.stats

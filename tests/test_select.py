@@ -131,3 +131,113 @@ def test_match_all_with_fq_only(index, documents):
     assert rows(resp.docs, "doc_id") == rows(
         base.orderBy("doc_id").limit(7).select("doc_id")
     , "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# select_rows: the handler-level caches wired into the facade
+# ---------------------------------------------------------------------------
+
+
+def test_select_rows_matches_lazy_select(documents):
+    from nexlt_spark.index.build import build_index
+    from nexlt_spark.query.select import select_rows
+
+    idx = build_index(documents).persist()  # fresh searcher: cold caches
+    got = select_rows(idx, documents, q="error", rows=5)
+    want = [r.asDict() for r in select(idx, documents, q="error", rows=5).docs.collect()]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    # every stored column the lazy page carries is present
+    assert set(want[0]) <= set(got[0])
+
+
+def test_select_rows_repeat_page_runs_zero_jobs(documents):
+    from nexlt_spark.index.build import build_index
+    from nexlt_spark.query.select import select_rows
+
+    idx = build_index(documents).persist()
+    spark = documents.sparkSession
+    sc = spark.sparkContext
+    first = select_rows(idx, documents, q="error AND data", rows=5)
+    assert first
+    # repeat the identical page under a job group: Solr repeat-page
+    # behavior = queryResultCache window + documentCache rows, no index
+    # read — here, zero Spark jobs in the group
+    sc.setJobGroup("nexlt-cache-hit", "repeat page must not run jobs")
+    try:
+        again = select_rows(idx, documents, q="error AND data", rows=5)
+        job_ids = sc.statusTracker().getJobIdsForGroup("nexlt-cache-hit")
+    finally:
+        sc.setJobGroup("", "")
+    assert again == first
+    assert list(job_ids) == []
+
+
+def test_select_rows_next_page_inside_window(documents):
+    """rows 0-4 over-fetches the rank window to 20 rows; page 2
+    (start=5) serves its RANK slice from cache — the only job it may run
+    is the stored-field point fetch for the 5 unseen docs (Solr's
+    documentCache contract exactly: rank from queryResultCache, stored
+    fields read once per doc). A page-2 REPEAT then runs zero jobs."""
+    from nexlt_spark.index.build import build_index
+    from nexlt_spark.query.select import select_rows
+
+    idx = build_index(documents).persist()
+    sc = documents.sparkSession.sparkContext
+    page1 = select_rows(idx, documents, q="data", rows=5)
+    sc.setJobGroup("nexlt-window-hit", "page 2: at most the point fetch")
+    try:
+        page2 = select_rows(idx, documents, q="data", start=5, rows=5)
+        job_ids = sc.statusTracker().getJobIdsForGroup("nexlt-window-hit")
+    finally:
+        sc.setJobGroup("", "")
+    assert len(list(job_ids)) <= 1  # no rank job — only the doc fetch
+    assert page1 and page2
+    assert not {r["doc_id"] for r in page1} & {r["doc_id"] for r in page2}
+    # rank continuity across the page boundary
+    assert page1[-1]["score"] >= page2[0]["score"]
+    sc.setJobGroup("nexlt-window-repeat", "page 2 repeat must run no jobs")
+    try:
+        again = select_rows(idx, documents, q="data", start=5, rows=5)
+        repeat_ids = sc.statusTracker().getJobIdsForGroup("nexlt-window-repeat")
+    finally:
+        sc.setJobGroup("", "")
+    assert again == page2
+    assert list(repeat_ids) == []
+
+
+def test_select_accepts_sharded_index(documents, tmp_path):
+    """The facade serves a distributed-shards index (solrconfig.xml:
+    837-838) — same rows as the single-store facade, caches included."""
+    from nexlt_spark.index.blocks import load_blocked_index
+    from nexlt_spark.index.packed import build_blocked_direct, save_blocked
+    from nexlt_spark.index.sharded import combine_shards
+    from nexlt_spark.query.select import select_rows
+
+    spark = documents.sparkSession
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"shard{i}")
+        save_blocked(
+            build_blocked_direct(documents.where(F.pmod(F.col("doc_id"), F.lit(2)) == i)),
+            p,
+        )
+        paths.append(p)
+    shidx = combine_shards([load_blocked_index(spark, p) for p in paths])
+    single = build_blocked_direct(documents)
+    got = select_rows(shidx, documents, q="error OR data", rows=8)
+    want = select_rows(single, documents, q="error OR data", rows=8)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    # repeat page on the sharded handler also serves cache-side
+    sc = spark.sparkContext
+    sc.setJobGroup("nexlt-sharded-hit", "")
+    try:
+        again = select_rows(shidx, documents, q="error OR data", rows=8)
+        job_ids = sc.statusTracker().getJobIdsForGroup("nexlt-sharded-hit")
+    finally:
+        sc.setJobGroup("", "")
+    assert again == got
+    assert list(job_ids) == []

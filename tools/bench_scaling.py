@@ -265,6 +265,13 @@ def main() -> None:
     # median per level is the reported number
     for trial in range(args.trials):
         for level in (lo, hi):
+            # flush dirty pages + cool down before each worker: the
+            # previous worker wrote (and deleted) a full store on the one
+            # shared disk, and its writeback otherwise lands INSIDE the
+            # next worker's timed store flush (observed as a bimodal
+            # encode_save: 46 s outlier vs 13-15 s mode at 8 cores)
+            os.sync()
+            time.sleep(5)
             print(f"trial {trial}: worker at {level} ...", file=sys.stderr)
             r = _run_worker(level, args.input, args.repeats, pin=args.pin)
             runs[level].append(r)
