@@ -43,3 +43,9 @@ def ensure_shipped(spark) -> None:
     )
     sc.addPyFile(zip_path)
     sc._nexlt_shipped = True
+
+
+if __name__ == "__main__":
+    # python -m nexlt_spark.deploy → build dist/nexlt_spark.zip for
+    # spark-submit --py-files (tools/submit_job.py docstring)
+    print(build_pyfiles_zip())

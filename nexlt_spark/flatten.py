@@ -22,7 +22,14 @@ funnel everything through one task. Instead:
 1. ``repartitionByRange(P, conv_id, turn_idx)`` + ``sortWithinPartitions``
    — each partition holds a contiguous, sorted key range;
 2. count rows per range-partition (P tiny rows to the driver);
-3. ``mapInPandas`` adds ``cumulative_offset[pid] + local_rank``.
+3. ``doc_id = cumulative_offset[pid] + local_rank`` computed **JVM-side**:
+   ``monotonically_increasing_id()`` is ``pid<<33 + row-index-in-iteration-
+   order``, and iteration order of the sorted (and cached) partition IS the
+   in-partition rank — so the id is a pure Column expression (offset map
+   literal + bitmask), zero Python crossings. The previous ``mapInPandas``
+   implementation round-tripped every text byte through Arrow just to add
+   an integer — measurably the scarcest resource on a shared box (BENCH.md
+   §5) and a wasted serialization pass on any cluster.
 
 Because (conv_id, turn_idx) is a unique key, the resulting doc_id equals
 the global rank of the key and is **invariant to where the sampled range
@@ -85,28 +92,34 @@ def assign_stable_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    bc = spark.sparkContext.broadcast(offsets)
+    # monotonically_increasing_id packs the in-partition index into the low
+    # 33 bits; the offset arithmetic assumes no partition exceeds that
+    if counts and max(counts.values()) >= (1 << 33):
+        raise ValueError(
+            "assign_stable_ids: a range partition holds >= 2^33 rows; "
+            "raise num_partitions"
+        )
+    if not offsets:  # empty input: keep the map expression well-typed
+        offsets = {0: 0}
 
-    out_schema = T.StructType(
-        [f for f in df.schema.fields] + [T.StructField(id_col, T.LongType(), False)]
+    # literal pid → cumulative-offset map (P entries, P = shuffle partitions:
+    # a constant-folded expression, not a join); local rank = the low 33 bits
+    # of monotonically_increasing_id, valid because this projection runs in
+    # the same stage as (and therefore iterates in the order of) the cached
+    # sorted partition
+    omap = F.create_map(
+        *[F.lit(v) for pid in offsets for v in (pid, offsets[pid])]
     )
-
-    def add_ids(batches):
-        import pandas as pd  # noqa: F401
-
-        seen = 0
-        off = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if off is None:
-                off = bc.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[id_col] = range(off + seen, off + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    out = ranged.mapInPandas(add_ids, schema=out_schema)
+    out = (
+        ranged.withColumn(
+            id_col,
+            (
+                omap[F.col("_pid")]
+                + F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            ).cast(T.LongType()),
+        )
+        .drop("_pid")
+    )
     return out
 
 

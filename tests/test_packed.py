@@ -117,3 +117,44 @@ def test_stream_encode_identical_to_grouped(documents, positions, wire):
                     for r in b.blocks.select(*cols).collect())
     assert rows_a == rows_b
     assert a.stats == b.stats
+
+
+def test_stream_encode_carry_across_tiny_batches(documents):
+    """Groups spanning MANY Arrow batches: feed the stream kernel
+    3-row batches so every nontrivial (term, rsalt) group crosses
+    batch boundaries and the carry path runs repeatedly — output must
+    equal the per-group kernel on the same sorted rows."""
+    import pandas as pd
+
+    from nexlt_spark.index.packed import (
+        _SENTINEL,
+        _emit_packed,
+        _encode_packed,
+        _encode_packed_stream,
+        PACKED_SCHEMA,
+    )
+    from pyspark.sql import functions as F
+
+    packed = documents.select("doc_id", "text").mapInPandas(
+        _emit_packed("doc_id", "text", "standard", 4, False, "raw"),
+        schema=PACKED_SCHEMA,
+    )
+    posts = packed.where(F.col("term") != _SENTINEL).toPandas()
+    posts = posts.sort_values(["term", "rsalt"], kind="stable").reset_index(drop=True)
+
+    stream = _encode_packed_stream(10.0, 16, False, "raw")
+    grouped = _encode_packed(10.0, 16, False, "raw")
+
+    def tiny_batches(n):
+        for i in range(0, len(posts), n):
+            yield posts.iloc[i : i + n].reset_index(drop=True)
+
+    got = pd.concat(list(stream(tiny_batches(3))), ignore_index=True)
+    want = pd.concat(
+        [grouped(g.reset_index(drop=True)) for _, g in posts.groupby(["term", "rsalt"], sort=False)],
+        ignore_index=True,
+    )
+    key = ["term", "rsalt", "block_id"]
+    got = got.sort_values(key, kind="stable").reset_index(drop=True)
+    want = want.sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

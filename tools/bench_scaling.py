@@ -121,6 +121,12 @@ def _worker(level: str, input_dir: str, repeats: int) -> None:
         dir=os.environ.get("NEXLT_BENCH_STORE_DIR") or None,
     )
 
+    # NEXLT_WIRE=varint: compress run payloads BEFORE the emit→encode
+    # exchange (~4 B/posting instead of 16 B) — the bandwidth-bound
+    # configuration a real cluster shuffle wants; raw is the loopback
+    # default (see index.packed._emit_packed)
+    wire = os.environ.get("NEXLT_WIRE", "raw")
+
     def full_build(src, out, phases=None):
         # the scale-path pipeline: packed posting runs (index.packed).
         # Phase split costs nothing extra: build_blocked_direct's stats
@@ -128,7 +134,7 @@ def _worker(level: str, input_dir: str, repeats: int) -> None:
         # run lazily inside save_blocked.
         t = time.perf_counter()
         documents = flatten_transcripts(src).persist()
-        idx = build_blocked_direct(documents)
+        idx = build_blocked_direct(documents, wire=wire)
         if phases is not None:
             phases["flatten_emit"] = round(time.perf_counter() - t, 2)
         t = time.perf_counter()

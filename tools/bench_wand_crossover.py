@@ -82,6 +82,12 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=250000)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--base", default="/tmp/nexlt_wand_xover")
+    ap.add_argument(
+        "--corpora",
+        default=",".join(CORPORA),
+        help="subset of corpora to run (e.g. just 'zipf' for the "
+        "head-list-size crossover probe at large --convs)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -96,8 +102,11 @@ def main() -> None:
     )
 
     results = []
+    wanted = {c.strip() for c in args.corpora.split(",") if c.strip()}
     for cname, ckw in CORPORA.items():
-        path = os.path.join(args.base, cname)
+        if cname not in wanted:
+            continue
+        path = os.path.join(args.base, f"{cname}_{args.convs}")
         _build(spark, args.convs, ckw["vocab_size"], path)
         bidx = load_blocked_index(spark, path).persist()
         n_docs = bidx.stats.n_docs
