@@ -187,6 +187,10 @@ class BlockedIndex:
     n_buckets: int | None = None
     analyzer: str = "standard"
     ranged: bool = False
+    # set by builders whose blocks DAG is ALREADY exchange-keyed in the
+    # on-disk store layout (term_bucket, rsalt mod salt-files): lets
+    # save_blocked skip its layout repartition and fuse encode + flush
+    store_layout: int | None = None
 
     def __post_init__(self) -> None:
         # driver-side term-dictionary cache: term → (df, term_bucket).

@@ -38,6 +38,7 @@ TieredMergePolicy analog) is the follow-up if store size ever matters.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -62,6 +63,13 @@ from nexlt_spark.scoring import K1, K1_PLUS_1, ONE_MINUS_B
 PACKED_SCHEMA = (
     "term string, rsalt long, n int, sum_dl long, doc_ids binary, tfs binary, dls binary"
 )
+# Default on-disk store layout (save_blocked): term_bucket dirs × salt
+# files. The stream encode path keys its ONE exchange by this same
+# layout, so encode and store write fuse into a single stage (no second
+# shuffle of the encoded payloads, no AQE write-coalescing under-
+# parallelizing the flush) — see build_blocked_direct/save_blocked.
+STORE_BUCKETS = 32
+STORE_SALT_FILES = 8
 # positions variant: per-run packed int32 token offsets, posting order
 PACKED_SCHEMA_POS = PACKED_SCHEMA + ", pos binary"
 _SENTINEL = ""
@@ -497,7 +505,16 @@ def build_blocked_direct(
     if persist_packed:
         packed = packed.persist()
 
-    sent = packed.where(F.col("term") == _SENTINEL)
+    # Sentinel rows are ~1 per emit batch (tiny: packed per-doc lens).
+    # Persist them as their OWN cache so the doc_stats consumer reads a
+    # few MB instead of re-scanning the multi-GB packed cache — the
+    # stats agg below materializes it as a side effect of the scan it
+    # already had to do.
+    sent = packed.where(F.col("term") == _SENTINEL).select(
+        "n", "sum_dl", "doc_ids", "dls"
+    )
+    if persist_packed:
+        sent = sent.persist()
     agg = sent.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
         F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("tot"),
@@ -511,19 +528,43 @@ def build_blocked_direct(
     from nexlt_spark.index.blocks import BLOCKS_SCHEMA_POS
 
     out_schema = BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA
+    store_layout = None
     if group_exec == "grouped":
         blocks = posts.groupBy("term", "rsalt").applyInPandas(
             _encode_packed(stats.avgdl, block_size, positions, wire), schema=out_schema
         )
     else:
+        # Key the encode exchange by the STORE layout, not by the raw
+        # (term, rsalt) group key. (bucket, rsalt mod SALT_FILES) is a
+        # pure function of (term, rsalt), so after the in-partition sort
+        # every group is still contiguous and the stream kernel sees the
+        # exact same groups — but the encoded blocks land ALREADY
+        # arranged for save_blocked's partitionBy(term_bucket) write:
+        # the encode kernel and the parquet flush fuse into one stage.
+        # Measured on this box (BENCH.md §4): the old second shuffle
+        # round-tripped every encoded payload (~460 MB at 4.5M turns)
+        # and AQE coalesced the write down to ~9 tasks regardless of
+        # core count — a fixed-cost tail that capped encode_save's
+        # scaling at ~0.58.
+        # Explicit partition count: repartition(cols...) without a number
+        # is AQE-coalescible, and AQE's advisory size merged this heavy
+        # Python-kernel stage down to ~14 tasks REGARDLESS of core count
+        # (measured: the encode+flush stage ran 14 tasks at both 2 and 8
+        # cores) — parallelism must track the cluster size instead.
+        n_part = int(posts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         blocks = (
-            posts.repartition("term", "rsalt")
+            posts.repartition(
+                n_part,
+                F.pmod(F.xxhash64(F.col("term")), F.lit(STORE_BUCKETS)),
+                F.pmod(F.col("rsalt"), F.lit(STORE_SALT_FILES)),
+            )
             .sortWithinPartitions("term", "rsalt")
             .mapInPandas(
                 _encode_packed_stream(stats.avgdl, block_size, positions, wire),
                 schema=out_schema,
             )
         )
+        store_layout = STORE_BUCKETS
     return BlockedIndex(
         blocks=blocks,
         doc_stats=doc_stats,
@@ -531,6 +572,7 @@ def build_blocked_direct(
         stats=stats,
         analyzer=analyzer,
         ranged=True,  # every term range-partitioned ⇒ per-range fused scoring OK
+        store_layout=store_layout,
     )
 
 
@@ -538,24 +580,80 @@ def save_blocked(bidx: BlockedIndex, path: str, n_buckets: int = 32) -> None:
     """Persist a BlockedIndex (from any builder) as the bucket-partitioned
     store readable by blocks.load_blocked_index."""
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
-    (
-        bidx.blocks.withColumn("term_bucket", bucket)
+    blocks = bidx.blocks.withColumn("term_bucket", bucket)
+    if getattr(bidx, "store_layout", None) != n_buckets:
         # second partitioning key: spread each bucket's rows over up to 8
         # files keyed by doc-range, so a single term's blocks never
-        # serialize into one scan split (parallel decode at query time)
-        .repartition(F.col("term_bucket"), F.pmod(F.col("rsalt"), F.lit(8)))
-        .write.mode("overwrite")
+        # serialize into one scan split (parallel decode at query time).
+        # Skipped when the builder already keyed its encode exchange by
+        # this exact layout (build_blocked_direct stream path): the
+        # parquet flush then runs inside the encode stage itself.
+        blocks = blocks.repartition(
+            F.col("term_bucket"), F.pmod(F.col("rsalt"), F.lit(STORE_SALT_FILES))
+        )
+    (
+        blocks.write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings_blocks")
     )
+    spark = bidx.blocks.sparkSession
+    term_stats = bidx.term_stats
+    if getattr(bidx, "store_layout", None) == n_buckets:
+        # df(term) = Σ block n (postings are unique (term, doc) pairs),
+        # so term_stats can be re-derived from the store just written —
+        # a scan of the compact encoded blocks instead of a second full
+        # pass over the multi-GB packed emit cache.
+        term_stats = (
+            spark.read.parquet(f"{path}/postings_blocks")
+            .groupBy("term")
+            .agg(F.sum("n").cast("long").alias("df"))
+        )
     (
-        bidx.term_stats.withColumn("term_bucket", bucket)
+        term_stats.withColumn("term_bucket", bucket)
         .write.mode("overwrite")
         .parquet(f"{path}/term_stats")
     )
-    bidx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-    spark = bidx.blocks.sparkSession
-    spark.createDataFrame(
-        [(bidx.stats.n_docs, bidx.stats.total_tokens, n_buckets, bidx.analyzer, bidx.ranged)],
-        "n_docs long, total_tokens long, n_buckets int, analyzer string, ranged boolean",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    # doc_stats is (doc_id, dl) — a few bytes per doc. Writing it from
+    # every tiny upstream partition schedules cores×4 near-empty tasks;
+    # coalesce to the cluster's core count (scales with cluster size,
+    # never below the source's own partitioning on small inputs).
+    (
+        bidx.doc_stats.coalesce(max(1, spark.sparkContext.defaultParallelism))
+        .write.mode("overwrite")
+        .parquet(f"{path}/doc_stats")
+    )
+    _write_stats_table(
+        f"{path}/stats",
+        bidx.stats.n_docs,
+        bidx.stats.total_tokens,
+        n_buckets,
+        bidx.analyzer,
+        bidx.ranged,
+    )
+
+
+def _write_stats_table(
+    path: str, n_docs: int, total_tokens: int, n_buckets: int, analyzer: str, ranged: bool
+) -> None:
+    """The stats table is ONE metadata row — write it driver-side with
+    pyarrow instead of scheduling a 1-task Spark job (the Iceberg analog
+    is a manifest write, also a driver/commit-side operation). Readable
+    by spark.read.parquet exactly as before."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_tokens": pa.array([total_tokens], pa.int64()),
+            "n_buckets": pa.array([n_buckets], pa.int32()),
+            "analyzer": pa.array([analyzer], pa.string()),
+            "ranged": pa.array([ranged], pa.bool_()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
