@@ -514,8 +514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_pairs_banded"] = _minhash_pairs_banded
 
     def _simhash_pairs(s, d):
-        # xxhash64-based — not expressible in DuckDB SQL; rows-only check
-        return minhash.simhash_near_pairs(_docs(s, d), max_hamming=3, n_bands=4)
+        # md5_60 token hash: bit-identical to DuckDB's
+        # ('0x'||substr(md5(tok),1,15))::bigint, so this entry is fully
+        # value-checked against the brute-force SQL oracle (was rows-only
+        # in r2 with the xxh64 default — xxhash64 has no DuckDB twin; the
+        # xxh64 JVM fast path stays the library default, pytest-covered)
+        return minhash.simhash_near_pairs(
+            _docs(s, d), max_hamming=3, n_bands=4, hash="md5_60"
+        )
 
     q["dedup_simhash_pairs"] = _simhash_pairs
 
@@ -761,7 +767,33 @@ def oracle_sql() -> dict[str, str]:
     # verified pair-for-pair on this corpus (precision is exact always)
     o["dedup_minhash_pairs_banded"] = o["dedup_minhash_pairs"]
 
-    # dedup_simhash_pairs: xxhash64 not available in DuckDB — rows-only check
+    # SimHash brute-force oracle (md5_60 token hash — bit-identical to
+    # Spark's conv(substring(md5(tok),1,15),16,10) by construction, hash
+    # parity asserted in tests/test_pipeline_ops.py): per-bit majority
+    # vote over the token stream, exhaustive all-pairs popcount verify.
+    # The engine's banded pigeonhole candidates (max_hamming=3 < n_bands=4)
+    # have full recall, so the banded path must equal this scan exactly.
+    o["dedup_simhash_pairs"] = (
+        "WITH toks AS (\n"
+        "  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok\n"
+        "  FROM documents\n"
+        "), h AS (\n"
+        "  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks\n"
+        "), votes AS (\n"
+        "  SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v\n"
+        "  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b\n"
+        "), sig0 AS (\n"
+        "  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash\n"
+        "  FROM votes GROUP BY doc_id\n"
+        "), sig AS (\n"
+        "  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash\n"
+        "  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id\n"
+        ")\n"
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming\n"
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id\n"
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
     # multimodal_metadata_profile: synthetic binary media, no table — rows-only
 
     # exact variant: the engine's inverted-shingle-index candidates have

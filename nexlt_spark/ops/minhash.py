@@ -238,20 +238,34 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash_col(tokens):
-    """64-bit SimHash of a tokens array Column, as a long.
+# token-hash choices for SimHash: xxhash64 (default JVM fast path) and a
+# 60-bit md5 prefix — bit-identical to DuckDB's
+# cast(('0x'||substr(md5(tok),1,15)) as bigint), so the md5_60 variant is
+# value-checkable against a pure-SQL oracle (parity asserted in tests)
+SIMHASH_BITS = {"xxh64": 64, "md5_60": 60}
 
-    bit b of simhash = 1 iff Σ_tokens (2*((xxhash64(tok)>>b)&1) - 1) > 0.
-    Pure JVM expression: one hash per token, 64 array-fold votes. Ties
-    (vote sum 0) resolve to 0, deterministically.
+
+def _token_hash(t, hash: str):
+    if hash == "md5_60":
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(t)
+
+
+def simhash_col(tokens, hash: str = "xxh64"):
+    """SimHash of a tokens array Column, as a long (64 bits for xxh64,
+    60 for md5_60).
+
+    bit b of simhash = 1 iff Σ_tokens (2*((h(tok)>>b)&1) - 1) > 0.
+    Pure JVM expression: one hash per token, one array-fold vote per
+    bit. Ties (vote sum 0) resolve to 0, deterministically.
     """
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, lambda t: _token_hash(t, hash))
 
     def _vote_merge(b):
         return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
 
     out = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS[hash]):
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(b))
         out = out + F.when(
             vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
@@ -259,20 +273,24 @@ def simhash_col(tokens):
     return out
 
 
-def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", hash: str = "xxh64") -> DataFrame:
     """(doc_id, simhash) over the shared tokenizer's token stream."""
-    return docs.select(F.col(id_col).alias("doc_id"), simhash_col(tokens_col()).alias("simhash"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_col(tokens_col(), hash).alias("simhash")
+    )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
-    """(doc_a, doc_b, hamming ≤ max_hamming) via banded 16-bit keys.
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4, hash: str = "xxh64"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) via banded keys.
 
     Two signatures within Hamming distance d < n_bands must agree on at
     least one of n_bands disjoint bands (pigeonhole) — candidates from a
     band-key self-join, exact popcount(xor) verify.
     """
-    width = 64 // n_bands
-    sig = simhash_signatures(docs)
+    width = SIMHASH_BITS[hash] // n_bands
+    sig = simhash_signatures(docs, hash=hash)
     bands = sig.select(
         "doc_id",
         "simhash",

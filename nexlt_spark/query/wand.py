@@ -16,11 +16,14 @@ Distributed formulation (no doc-at-a-time cursor; set algebra instead):
    partial scores. Partial sums of non-negative contributions are lower
    bounds of exact scores, so θ = k-th best partial is a valid pruning
    threshold.
-2. **Block pruning** — keep block b of term t iff
-   `ub_b + Σ_{t'≠t} gm_{t'} ≥ θ` (gm = per-term global max ub).
-   Any doc with exact score ≥ θ appears in ≥1 kept block: for its
-   argmax-contribution term t*, that block's ub dominates c_{t*} and
-   the other terms' gm dominate the rest.
+2. **Block pruning with a MaxScore essential split** — terms whose
+   ascending-gm prefix sum stays below θ are non-essential (a doc made
+   only of them cannot reach θ; Turtle & Flood 1995); keep block b of
+   an ESSENTIAL term t iff `ub_b + Σ_{t'≠t} gm_{t'} ≥ θ` (gm = per-term
+   global max ub). Any doc with exact score ≥ θ contains ≥1 essential
+   term and appears in ≥1 kept block: for its argmax essential term t*,
+   that block's ub dominates c_{t*} and the other terms' gm dominate
+   the rest.
 3. **Candidates** — docs of kept blocks (∩ fq doc_filter). Collected to
    the driver iff ≤ candidate_cap (the Lucene collector analog —
    driver-side orchestration of a bounded set); else exact fallback.
@@ -54,6 +57,23 @@ from nexlt_spark.scoring import idf
 DEFAULT_CANDIDATE_CAP = 500_000
 DEFAULT_SLICE_SHIFT = 12  # candidate-range granularity: 4096 docIDs
 PROBE_BLOCKS_PER_TERM = 16
+
+
+def _adaptive_slice_shift(n_docs: int, n_candidates: int) -> int:
+    """Candidate-slice granularity sized to the candidate density.
+
+    The skip-list jump drops a block iff its [first,last] docID range
+    intersects no candidate slice; with the fixed 4096-doc slice a few
+    thousand candidates over a 10^7+-doc corpus mark ~every slice and
+    nothing skips. Target slices covering ~1/20 of the docID space
+    (width ≈ n_docs / (20·n_cand)), clamped to [64, 4096]: correctness
+    never depends on the width (decoded rows are still masked to exact
+    candidate membership), only decode volume does.
+    """
+    if n_candidates <= 0:
+        return DEFAULT_SLICE_SHIFT
+    width = max(1, n_docs // (20 * n_candidates))
+    return max(6, min(DEFAULT_SLICE_SHIFT, width.bit_length() - 1))
 
 
 def _decode_filtered(
@@ -238,12 +258,41 @@ def _xxh64(data: bytes, seed: int) -> int:
     return signed
 
 
-def _rescore(bidx, blocks_q, present, idfs, avgdl, n_required, bc, slice_shift):
-    """Candidate-restricted exact rescore. On a ranged store the decode,
-    mask, and fold all happen inside the per-range kernel
-    (query.ranged.score_ranged_masked) — the shuffle moves block bytes,
-    not candidate posting rows; otherwise the generic decode+fold plan."""
-    if getattr(bidx, "ranged", False):
+def _est_covered_fraction(n_docs: int, n_cand: int, slice_shift: int) -> float:
+    """Upper-bound estimate of the docID-space fraction candidate slices
+    cover — the driver-side signal for how much the rescore's skip-list
+    jump will actually skip."""
+    if n_docs <= 0:
+        return 1.0
+    return min(1.0, (n_cand << slice_shift) / float(n_docs))
+
+
+# when candidate slices cover less than this fraction of the docID space,
+# the rescore takes the shuffle-free rows path (decode+mask in place via
+# mapInPandas; only masked posting rows — ≤ |candidates|·|terms| — reach
+# the fold's exchange). Above it, most blocks decode anyway and the
+# per-range kernel (one payload exchange, fold fused) is the better plan.
+ROWS_RESCORE_COVERAGE = 0.3
+
+
+def _rescore(
+    bidx, blocks_q, present, idfs, avgdl, n_required, bc, slice_shift,
+    covered: float = 1.0,
+):
+    """Candidate-restricted exact rescore — two plans, chosen by the
+    estimated slice coverage:
+
+    - **rows** (sparse candidates, the WAND design case at scale): decode
+      + slice-skip + mask happen inside mapInPandas on the scan — NO
+      shuffle of block payloads; the fold's groupBy exchanges only the
+      masked posting rows. Cost scales with candidate volume, not corpus
+      size (the §6 crossover's requirement).
+    - **ranged kernel** (dense candidates on a ranged store): one
+      groupBy(rsalt) exchange of block payloads, decode+mask+fold fused
+      per range (query.ranged.score_ranged_masked) — cheaper than
+      shuffling ~every decoded posting row when the mask keeps most.
+    """
+    if getattr(bidx, "ranged", False) and covered >= ROWS_RESCORE_COVERAGE:
         from nexlt_spark.query.ranged import score_ranged_masked
 
         return score_ranged_masked(
@@ -260,13 +309,16 @@ def wand_topk(
     mode: str = "or",
     doc_filter: Optional[DataFrame] = None,
     candidate_cap: int = DEFAULT_CANDIDATE_CAP,
-    slice_shift: int = DEFAULT_SLICE_SHIFT,
+    slice_shift: Optional[int] = None,
     stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """(doc_id, score) top-k via Block-Max WAND; ≡ exact path ranks+scores.
 
-    stats_out, when given, is filled with pruning telemetry
-    (theta, blocks_total, blocks_kept, n_candidates, fallback).
+    slice_shift=None (default) sizes the rescore's skip-list granularity
+    to the collected candidate count (_adaptive_slice_shift); pass an int
+    to pin it. stats_out, when given, is filled with pruning telemetry
+    (theta, blocks_total, blocks_kept, n_candidates, slice_shift,
+    fallback).
     """
     spark = bidx.doc_stats.sparkSession
     qterms = sorted(set(terms))
@@ -305,10 +357,19 @@ def wand_topk(
         cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+        shift = (
+            _adaptive_slice_shift(n, cand_ids.size) if slice_shift is None else slice_shift
+        )
+        covered = _est_covered_fraction(n, cand_ids.size, shift)
         bc = spark.sparkContext.broadcast(cand_ids)
-        scored = _rescore(bidx, blocks_q, present, idfs, avgdl, n_required, bc, slice_shift)
+        scored = _rescore(
+            bidx, blocks_q, present, idfs, avgdl, n_required, bc, shift, covered
+        )
         if stats_out is not None:
-            stats_out.update(fallback=False, n_candidates=int(cand_ids.size), theta=None)
+            stats_out.update(
+                fallback=False, n_candidates=int(cand_ids.size), theta=None,
+                slice_shift=shift, covered=round(covered, 4),
+            )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     # ---- OR mode: θ probe → block pruning → candidates → rescore ----
@@ -324,11 +385,40 @@ def wand_topk(
     topk_partial = partial.orderBy(F.col("score").desc()).limit(k).collect()
     theta = topk_partial[-1]["score"] if len(topk_partial) >= k else 0.0
 
+    # MaxScore essential-list split (Turtle & Flood 1995; Lucene's
+    # MaxScoreBulkScorer does the same partition): order terms by
+    # ascending gm and mark the maximal prefix whose gm prefix-sum stays
+    # BELOW θ as non-essential — a doc containing only non-essential
+    # terms scores < θ and cannot enter the top-k, so candidate
+    # discovery needs only the essential terms' kept blocks. The
+    # non-essential lists still contribute exactly: the rescore decodes
+    # them wherever a candidate slice intersects. Without this split, a
+    # rare high-idf term ORed with a hot term keeps EVERY hot block
+    # (θ ≤ gm_rare makes the per-block cut vacuous for the hot term) and
+    # the candidate collect blows the cap — the BENCH.md §6 round-2
+    # fallback rows.
+    by_gm = sorted(present, key=lambda t: gm[t])
+    non_essential: set = set()
+    prefix = 0.0
+    for t in by_gm[:-1]:  # the largest-gm term is always essential
+        if prefix + gm[t] < theta:
+            prefix += gm[t]
+            non_essential.add(t)
+        else:
+            break
+    essential = [t for t in present if t not in non_essential]
+
     # keep b(t) iff ub_b + Σ_{t'≠t} gm_{t'} ≥ θ  ⇔  ub_b ≥ θ - (sum_gm - gm_t)
+    # (valid for candidate discovery restricted to essential terms: a doc
+    # scoring ≥ θ has its argmax-essential-term block kept — its other
+    # terms' contributions are dominated by their gms, essential or not)
     gm_col = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(gm[t]))])[
         F.col("term")
     ]
-    kept = blocks_q.where(F.col("ub") >= F.lit(theta) - (F.lit(sum_gm) - gm_col))
+    kept = blocks_q.where(
+        F.col("term").isin(essential)
+        & (F.col("ub") >= F.lit(theta) - (F.lit(sum_gm) - gm_col))
+    )
 
     cand_df = _decode_filtered(kept).select("doc_id").distinct()
     if doc_filter is not None:
@@ -341,6 +431,8 @@ def wand_topk(
     cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
     if cand_ids.size == 0:
         return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+    shift = _adaptive_slice_shift(n, cand_ids.size) if slice_shift is None else slice_shift
+    covered = _est_covered_fraction(n, cand_ids.size, shift)
 
     if stats_out is not None:
         stats_out.update(
@@ -349,8 +441,11 @@ def wand_topk(
             n_candidates=int(cand_ids.size),
             blocks_total=blocks_q.count(),
             blocks_kept=kept.count(),
+            slice_shift=shift,
+            n_essential=len(essential),
+            covered=round(covered, 4),
         )
 
     bc = spark.sparkContext.broadcast(cand_ids)
-    scored = _rescore(bidx, blocks_q, present, idfs, avgdl, None, bc, slice_shift)
+    scored = _rescore(bidx, blocks_q, present, idfs, avgdl, None, bc, shift, covered)
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

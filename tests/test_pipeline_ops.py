@@ -112,6 +112,57 @@ def test_simhash_banded_equals_bruteforce(corpus):
     assert got == brute
 
 
+def test_simhash_md5_60_duckdb_parity(corpus):
+    """The md5_60 token hash and the full signature are bit-identical to
+    the DuckDB SQL the oracle uses (('0x'||substr(md5,1,15))::bigint +
+    per-bit majority vote) — the contract behind dedup_simhash_pairs
+    being value-checked rather than rows-only."""
+    import duckdb
+
+    rows = corpus.select("doc_id", "text").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ",".join(["(?, ?)"] * len(rows)) + ") t(doc_id, text)",
+                [x for r in rows for x in (r["doc_id"], r["text"])])
+    want = dict(
+        con.execute(
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            " '[a-z0-9]+')) AS tok FROM documents),"
+            " h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS hv FROM toks),"
+            " votes AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v"
+            "   FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),"
+            " sig0 AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)"
+            "   AS BIGINT) AS simhash FROM votes GROUP BY doc_id)"
+            " SELECT d.doc_id, COALESCE(s.simhash, 0) FROM documents d"
+            " LEFT JOIN sig0 s ON d.doc_id = s.doc_id"
+        ).fetchall()
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in minhash.simhash_signatures(corpus, hash="md5_60").collect()
+    }
+    assert got == want
+
+
+def test_simhash_md5_60_banded_equals_bruteforce(corpus):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in minhash.simhash_signatures(corpus, hash="md5_60").collect()
+    }
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in minhash.simhash_near_pairs(
+            corpus, max_hamming=3, n_bands=4, hash="md5_60"
+        ).collect()
+    }
+    assert got == brute
+
+
 def test_language_id(spark):
     rows = [
         (0, "the cat is on the mat and it is happy with this"),

@@ -100,6 +100,24 @@ def test_wand_actually_prunes(blocked_salted):
     assert stats["blocks_kept"] < stats["blocks_total"], stats
 
 
+def test_wand_maxscore_essential_split(index, blocked_salted):
+    """OR of a rare high-idf term with the hottest term: θ from the rare
+    probes exceeds the hot term's gm, so MaxScore marks the hot list
+    non-essential — candidates come from the rare list alone (no hot
+    block reaches the candidate collect) while the rescore still folds
+    the hot term's contributions exactly (rank identity vs exact)."""
+    rare = index.term_stats.orderBy(F.col("df").asc(), F.col("term")).filter(
+        F.col("df") >= 3
+    ).limit(1).collect()[0]
+    terms = ["the", rare["term"]]
+    stats = {}
+    got = _wand(blocked_salted, terms, 3, "or", stats_out=stats)
+    assert got == _exact_topk(index, terms, 3, "or")
+    assert stats["fallback"] is False
+    assert stats["n_essential"] == 1, stats
+    assert stats["n_candidates"] <= rare["df"], stats
+
+
 def test_bucket_parity_spark_vs_python(spark, index):
     terms = [r["term"] for r in index.term_stats.limit(50).collect()]
     got = {

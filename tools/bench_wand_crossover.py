@@ -77,6 +77,17 @@ def _median_time(fn, repeats=5):
     return statistics.median(ts)
 
 
+def _interleaved_medians(fa, fb, repeats=5):
+    """A/B/A/B interleaved medians — cancels the box's run-to-run drift
+    (BENCH.md §5 measures up to 2-3x minutes apart)."""
+    fa(), fb()  # warm both (plans, broadcasts, codegen)
+    ta, tb = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter(); fa(); ta.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); fb(); tb.append(time.perf_counter() - t0)
+    return statistics.median(ta), statistics.median(tb)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=250000)
@@ -118,6 +129,11 @@ def main() -> None:
             "or_rare_mid": ([rare[0], mid[0]], "or"),
             "and_rare_head": ([rare[0], head[0]], "and"),
             "and_mid2": (mid, "and"),
+            # the cost model's crossover shapes: a rare driver term against
+            # multiple huge head lists — exact must decode every head
+            # posting, WAND only head blocks intersecting candidate slices
+            "and_rare_head2": ([rare[0], head[0], head[1]], "and"),
+            "and_rare_head2_mid": ([rare[0], head[0], head[1], mid[0]], "and"),
         }
         for sname, (terms, mode) in shapes.items():
             stats: dict = {}
@@ -131,8 +147,7 @@ def main() -> None:
                     scored, [F.col("score").desc(), F.col("doc_id").asc()], 0, 10
                 ).collect()
 
-            tw = _median_time(run_wand, args.repeats)
-            te = _median_time(run_exact, args.repeats)
+            tw, te = _interleaved_medians(run_wand, run_exact, args.repeats)
             from nexlt_spark.query.planner import (
                 choose_topk_path,
                 estimate_kept_fraction,
@@ -154,6 +169,7 @@ def main() -> None:
                 "blocks_total": stats.get("blocks_total"),
                 "blocks_kept": stats.get("blocks_kept"),
                 "n_candidates": stats.get("n_candidates"),
+                "slice_shift": stats.get("slice_shift"),
                 "fallback": stats.get("fallback"),
                 "planner_choice": decision,
                 "est_kept_fraction": round(kf, 4) if kf is not None else None,
