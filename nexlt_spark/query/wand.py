@@ -258,6 +258,26 @@ def _xxh64(data: bytes, seed: int) -> int:
     return signed
 
 
+MAX_JVM_SLICE_FILTER = 4096
+
+
+def _slice_prefilter(blocks: DataFrame, cand_ids: np.ndarray, slice_shift: int) -> DataFrame:
+    """JVM-side skip-list jump: drop block rows whose [first,last] docID
+    range intersects no candidate slice BEFORE the payload bytes cross
+    the Arrow hop (the in-kernel searchsorted skip only avoids decode,
+    not transfer). An F.exists over the slice-id array literal — O(rows ×
+    n_slices) JVM lambda evals, so gated to ≤ MAX_JVM_SLICE_FILTER slices;
+    above that the kernel-side skip alone is the right plan anyway
+    (dense candidates ⇒ nothing to skip)."""
+    slices = np.unique(cand_ids >> np.int64(slice_shift))
+    if slices.size == 0 or slices.size > MAX_JVM_SLICE_FILTER:
+        return blocks
+    arr = F.array(*[F.lit(int(s)) for s in slices.tolist()])
+    lo = F.shiftright(F.col("first_doc_id"), slice_shift)
+    hi = F.shiftright(F.col("last_doc_id"), slice_shift)
+    return blocks.where(F.exists(arr, lambda s: (s >= lo) & (s <= hi)))
+
+
 def _est_covered_fraction(n_docs: int, n_cand: int, slice_shift: int) -> float:
     """Upper-bound estimate of the docID-space fraction candidate slices
     cover — the driver-side signal for how much the rescore's skip-list
@@ -277,7 +297,7 @@ ROWS_RESCORE_COVERAGE = 0.3
 
 def _rescore(
     bidx, blocks_q, present, idfs, avgdl, n_required, bc, slice_shift,
-    covered: float = 1.0,
+    covered: float = 1.0, rescore: str = "auto",
 ):
     """Candidate-restricted exact rescore — two plans, chosen by the
     estimated slice coverage:
@@ -292,13 +312,19 @@ def _rescore(
       per range (query.ranged.score_ranged_masked) — cheaper than
       shuffling ~every decoded posting row when the mask keeps most.
     """
-    if getattr(bidx, "ranged", False) and covered >= ROWS_RESCORE_COVERAGE:
+    use_ranged = (
+        getattr(bidx, "ranged", False)
+        and rescore != "rows"
+        and (rescore == "ranged" or covered >= ROWS_RESCORE_COVERAGE)
+    )
+    if use_ranged:
         from nexlt_spark.query.ranged import score_ranged_masked
 
         return score_ranged_masked(
             blocks_q, present, idfs, avgdl, n_required, bc, slice_shift
         )
-    rows = _decode_filtered(blocks_q, bc, slice_shift)
+    pruned = _slice_prefilter(blocks_q, bc.value, slice_shift)
+    rows = _decode_filtered(pruned, bc, slice_shift)
     return fold_scores(rows, idfs, avgdl, n_required)
 
 
@@ -311,6 +337,7 @@ def wand_topk(
     candidate_cap: int = DEFAULT_CANDIDATE_CAP,
     slice_shift: Optional[int] = None,
     stats_out: Optional[dict] = None,
+    rescore: str = "auto",
 ) -> DataFrame:
     """(doc_id, score) top-k via Block-Max WAND; ≡ exact path ranks+scores.
 
@@ -363,7 +390,8 @@ def wand_topk(
         covered = _est_covered_fraction(n, cand_ids.size, shift)
         bc = spark.sparkContext.broadcast(cand_ids)
         scored = _rescore(
-            bidx, blocks_q, present, idfs, avgdl, n_required, bc, shift, covered
+            bidx, blocks_q, present, idfs, avgdl, n_required, bc, shift, covered,
+            rescore,
         )
         if stats_out is not None:
             stats_out.update(
@@ -377,7 +405,27 @@ def wand_topk(
     gm = {t: idfs[t] * meta[t][1] for t in present}
     sum_gm = sum(gm.values())
 
-    probe_blocks = blocks_q.orderBy(F.col("ub").desc()).limit(PROBE_BLOCKS_PER_TERM * len(present))
+    # θ-probe block selection runs on SKINNY metadata (term, first_doc_id,
+    # ub) — a direct orderBy(ub).limit(n) would drag every block's payload
+    # byte columns through the sort exchange (measured: 13 s on a 120k-block
+    # head list vs ~0.3 s skinny). The collected keys then filter blocks_q
+    # per term; a key collision across salted blocks only decodes a few
+    # extra blocks, which can only RAISE θ (partials stay lower bounds).
+    n_probe = PROBE_BLOCKS_PER_TERM * len(present)
+    probe_keys = (
+        blocks_q.select("term", "first_doc_id", "ub")
+        .orderBy(F.col("ub").desc())
+        .limit(n_probe)
+        .collect()
+    )
+    by_term: dict = {}
+    for r in probe_keys:
+        by_term.setdefault(r["term"], []).append(r["first_doc_id"])
+    probe_cond = None
+    for t, firsts in by_term.items():
+        c = (F.col("term") == t) & F.col("first_doc_id").isin(firsts)
+        probe_cond = c if probe_cond is None else (probe_cond | c)
+    probe_blocks = blocks_q.where(probe_cond) if probe_cond is not None else blocks_q.limit(0)
     probe_rows = _decode_filtered(probe_blocks)
     if doc_filter is not None:
         probe_rows = probe_rows.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
@@ -447,5 +495,7 @@ def wand_topk(
         )
 
     bc = spark.sparkContext.broadcast(cand_ids)
-    scored = _rescore(bidx, blocks_q, present, idfs, avgdl, None, bc, shift, covered)
+    scored = _rescore(
+        bidx, blocks_q, present, idfs, avgdl, None, bc, shift, covered, rescore
+    )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

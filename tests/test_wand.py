@@ -100,6 +100,20 @@ def test_wand_actually_prunes(blocked_salted):
     assert stats["blocks_kept"] < stats["blocks_total"], stats
 
 
+@pytest.mark.parametrize("terms,mode,k", [
+    (["run", "file"], "and", 10),
+    (["spark", "index", "merge"], "or", 10),
+    (["the", "error"], "or", 25),
+])
+def test_wand_rows_rescore_equals_exact(index, blocked_salted, terms, mode, k):
+    """The shuffle-free rows rescore (sparse-candidate plan at scale,
+    forced here) is rank- and score-identical to the ranged kernel and
+    the exact path."""
+    assert _wand(blocked_salted, terms, k, mode, rescore="rows") == _exact_topk(
+        index, terms, k, mode
+    )
+
+
 def test_wand_maxscore_essential_split(index, blocked_salted):
     """OR of a rare high-idf term with the hottest term: θ from the rare
     probes exceeds the hot term's gm, so MaxScore marks the hot list

@@ -77,10 +77,12 @@ def _median_time(fn, repeats=5):
     return statistics.median(ts)
 
 
-def _interleaved_medians(fa, fb, repeats=5):
+def _interleaved_medians(fa, fb, repeats=5, warm_a=None):
     """A/B/A/B interleaved medians — cancels the box's run-to-run drift
-    (BENCH.md §5 measures up to 2-3x minutes apart)."""
-    fa(), fb()  # warm both (plans, broadcasts, codegen)
+    (BENCH.md §5 measures up to 2-3x minutes apart). warm_a, when given,
+    replaces fa's warm call (e.g. a telemetry-collecting variant whose
+    extra count jobs must stay out of the timed runs)."""
+    (warm_a or fa)(), fb()  # warm both (plans, broadcasts, codegen)
     ta, tb = [], []
     for _ in range(repeats):
         t0 = time.perf_counter(); fa(); ta.append(time.perf_counter() - t0)
@@ -138,8 +140,12 @@ def main() -> None:
         for sname, (terms, mode) in shapes.items():
             stats: dict = {}
 
-            def run_wand():
+            def run_wand_telemetry():
+                # warm-only: stats_out adds 2 block-metadata count jobs
                 wand_topk(bidx, terms, k=10, mode=mode, stats_out=stats).collect()
+
+            def run_wand():
+                wand_topk(bidx, terms, k=10, mode=mode).collect()
 
             def run_exact():
                 scored = score_postings(bidx, terms, mode, per_range_limit=10)
@@ -147,7 +153,9 @@ def main() -> None:
                     scored, [F.col("score").desc(), F.col("doc_id").asc()], 0, 10
                 ).collect()
 
-            tw, te = _interleaved_medians(run_wand, run_exact, args.repeats)
+            tw, te = _interleaved_medians(
+                run_wand, run_exact, args.repeats, warm_a=run_wand_telemetry
+            )
             from nexlt_spark.query.planner import (
                 choose_topk_path,
                 estimate_kept_fraction,

@@ -224,10 +224,26 @@ def main() -> None:
     q10 = wand_topk(bidx, ["spark", "join"], k=10, mode="or")
     sections.append(
         (
-            "WAND rescore on the ranged store (candidate-masked kernel)",
+            "WAND rescore on the ranged store (candidate-masked kernel, dense candidates)",
             plan_text(q10),
             ["FlatMapGroupsInPandas", "TakeOrderedAndProject"],
             ["MapInPandas", "ArrowEvalPython", "SortMergeJoin"],
+        )
+    )
+
+    # sparse candidates (the 10^7+-doc WAND design case): the rescore's
+    # rows plan decodes+masks in place on the scan — NO groupBy exchange
+    # of block payloads; only masked posting rows reach the fold. Forced
+    # here with rescore="rows" (the small plan corpus makes every slice
+    # coverage look dense otherwise); at scale the auto rule picks this
+    # plan whenever candidate slices cover <30% of the docID space.
+    q10b = wand_topk(bidx, ["table", "scan"], k=10, mode="and", rescore="rows")
+    sections.append(
+        (
+            "WAND rescore, sparse candidates: shuffle-free rows plan (no payload exchange)",
+            plan_text(q10b),
+            ["MapInPandas", "TakeOrderedAndProject"],
+            ["FlatMapGroupsInPandas", "SortMergeJoin", "CartesianProduct"],
         )
     )
 
