@@ -191,6 +191,12 @@ class BlockedIndex:
     # on-disk store layout (term_bucket, rsalt mod salt-files): lets
     # save_blocked skip its layout repartition and fuse encode + flush
     store_layout: int | None = None
+    # set by load_blocked_index: the on-disk store root. When present,
+    # the WAND serving path reads key-selected blocks DIRECTLY with
+    # pyarrow.dataset (partition + row-group pruned, in-process) instead
+    # of scheduling a Spark scan per fetch — the Lucene-searcher analog
+    # (a searcher reads its index files; it doesn't launch cluster jobs).
+    store_path: str | None = None
 
     def __post_init__(self) -> None:
         # driver-side term-dictionary cache: term → (df, term_bucket).
@@ -300,4 +306,5 @@ def load_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
         n_buckets=st["n_buckets"],
         analyzer=st["analyzer"] if "analyzer" in st.__fields__ else "standard",
         ranged=bool(st["ranged"]) if "ranged" in st.__fields__ else False,
+        store_path=path,
     )

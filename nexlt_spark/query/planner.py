@@ -4,34 +4,46 @@ The reference's Lucene picks between exhaustive scoring and BMW pruning
 per query (IndexSearcher's TopScoreDocCollector enables WAND exactly
 when ranks alone are needed); which one is faster depends on whether the
 decode work pruning saves exceeds pruning's own overhead. On this engine
-the trade is measurable and stark (tools/bench_wand_crossover.py, 2.25M
-docs, narrow + Zipf vocabularies, every shape × both paths):
+there are TWO WAND regimes with opposite cost anatomies, so the planner
+models both (tools/bench_wand_crossover.py, BENCH.md §6):
 
-- the exact per-range plan is ONE fused Spark job: ~0.35 s floor plus
-  ~50 ns per decoded posting (≈20M postings/s through the kernel) —
-  4M postings of two Zipf-head terms score in 0.56 s;
-- WAND pays a fixed multi-job orchestration floor — θ-probe job +
-  candidate collect + masked rescore ≈ 1.2-1.5 s regardless of how well
-  it prunes (and ~3.5-4 s when the candidate cap forces fallback).
+**Driver skip-data plan** (on-disk store, every term's block count under
+SKIP_CACHE_MAX_BLOCKS — the production serving shape): pruning decisions
+run on driver-resident skip data and key-selected payloads come back
+through pyarrow dataset reads, so a pruning-friendly query costs ~0.35 s
+REGARDLESS of corpus size, while the exact fused plan always decodes
+every posting of every query term through one Spark job whose scan floor
+GROWS with the store (measured 0.35 s at a 2.25M-doc store → ~1.1 s at
+18M docs). Measured at 18M docs the driver plan wins every non-fallback
+shape by 1.6-3.9× (v6 crossover, BENCH.md §6). The plan decision here
+mirrors the execution exactly: the SAME MaxScore essential split and
+kept-block computation over the SAME skip arrays the query would use
+(θ from the same ≤16-blocks-per-term probe, decoded driver-side in
+milliseconds — no Spark job), so fallback is *predicted*, not guessed;
+the residual cost model is
 
-So at 10^6-doc scale exact wins EVERY measured shape, and the planner's
-job is mostly to say "exact". WAND earns its floor only when the skipped
-decode volume is tens of millions of postings — index scales where a
-term's list alone is 10^8-10^10 postings (the 100 TB serving case, or
-equivalently when per-executor decode throughput is divided by a much
-larger corpus). The decision is therefore a two-constant cost model,
-not a heuristic: route to WAND iff
+    wand  ≈ WAND_DRIVER_FLOOR + (probe + kept + rescore_est) / DRIVER_RATE
+    exact ≈ EXACT_FLOOR + Σ df_t / EXACT_RATE
+
+with rescore_est ≤ candidates · |terms| · BLOCK_SIZE (block-aligned
+overcount) and all four constants calibrated from the v6 crossover
+medians. Mispredictions are bounded: both floors sit within ~0.4 s of
+each other at small stores, and the fallback guards catch the only
+shapes that lose big (kept postings past the candidate cap).
+
+**Legacy cluster-side flow** (in-memory index, or a head term whose
+skip data exceeds the driver cap): WAND pays a multi-job orchestration
+floor of ~1.2-1.5 s, so exact wins unless pruning skips tens of millions
+of postings. Route to WAND iff
 
     est_postings_saved / DECODE_RATE > WAND_OVERHEAD_SEC
 
-with both constants calibrated by the crossover bench (BENCH.md §6) and
-scale-free inputs (posting counts) from CACHED collection statistics
-only — the (df, max_tfnorm, n_blocks, block-ub quantile sketch) per
-term that query.wand._term_meta memoizes on the index (one metadata-only
-Spark job per new term, the Lucene TermStates analog). No postings are
-read and no extra job runs to plan.
+from CACHED collection statistics only — the (df, max_tfnorm, n_blocks,
+block-ub quantile sketch) per term that query.wand._term_meta memoizes
+(one metadata-only Spark job per new term, the Lucene TermStates
+analog).
 
-Saved-volume estimate:
+Legacy saved-volume estimate:
 - OR: θ̂ = THETA_FRACTION · Σ_t gm_t (the co-occurrence bound); a block
   of term t survives iff ub ≥ θ̂ − Σ_{t'≠t} gm_{t'}; stepping that cut
   through the cached block-ub quantile sketch yields a kept-block
@@ -46,6 +58,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,21 +66,39 @@ from nexlt_spark.index.blocks import BLOCK_SIZE, BlockedIndex
 from nexlt_spark.query.wand import (
     DEFAULT_CANDIDATE_CAP,
     META_QUANTS,
+    PROBE_BLOCKS_PER_TERM,
+    SKIP_CACHE_MAX_BLOCKS,
+    _collect_decode,
+    _pa_ds,
+    _skip_data,
     _term_meta,
     wand_topk,
 )
 from nexlt_spark.scoring import idf
 
 THETA_FRACTION = 0.8
-# calibrated on tools/bench_wand_crossover.py (BENCH.md §6): the fused
-# kernel decodes+folds ~20M postings/s end-to-end through one Spark job,
-# and WAND's extra driver round-trips cost ~1 s over the exact plan's
-# single job. Both are engine/cluster constants, not data constants —
-# override per deployment if the crossover bench says otherwise there.
+# legacy-flow constants, calibrated on tools/bench_wand_crossover.py
+# (BENCH.md §6): the fused kernel decodes+folds ~20M postings/s
+# end-to-end through one Spark job, and the cluster-side WAND flow's
+# extra driver round-trips cost ~1 s over the exact plan's single job.
+# Engine/cluster constants, not data constants — override per deployment
+# if the crossover bench says otherwise there.
 DECODE_RATE_POSTINGS_PER_SEC = 20_000_000
 WAND_OVERHEAD_SEC = 1.0
 # the volume WAND must skip to pay for its orchestration
 BREAK_EVEN_POSTINGS = int(DECODE_RATE_POSTINGS_PER_SEC * WAND_OVERHEAD_SEC)
+
+# driver-skip-data-plan constants, calibrated from the v6 crossover at an
+# 18M-doc Zipf store (BENCH.md §6): non-fallback driver WAND medians
+# 0.39-0.93 s; exact fused-job medians 1.07-1.73 s over 8k-36M postings.
+# EXACT_FLOOR is deliberately set BELOW the 18M-store measurement (~1.1 s)
+# and above the 2.25M-store one (0.35 s) so the comparison stays honest
+# across store sizes — the error it admits is bounded by the gap between
+# the two floors, not by data volume.
+WAND_DRIVER_FLOOR_SEC = 0.35
+DRIVER_DECODE_RATE_POSTINGS_PER_SEC = 40_000_000
+EXACT_FLOOR_SEC = 0.8
+EXACT_DECODE_RATE_POSTINGS_PER_SEC = 35_000_000
 
 
 def estimate_kept_fraction(bidx: BlockedIndex, terms: List[str]) -> Optional[float]:
@@ -127,19 +158,103 @@ def estimate_postings_saved(
     return int(total * (1.0 - kf))
 
 
+def _choose_driver_plan(
+    bidx: BlockedIndex, meta: dict, present: List[str], k: int, mode: str
+) -> str:
+    """Plan decision for the driver skip-data regime: rehearse the query's
+    own pruning on the SAME driver-resident skip arrays the execution
+    uses (module docstring). Only called for pyarrow-backed stores with
+    every term under the skip cap, so everything here is in-process —
+    zero Spark jobs. The OR branch decodes the ≤16-per-term probe blocks
+    (the exact blocks the query's θ probe would read anyway, ~ms via the
+    memoized dataset) because a metadata-only θ estimate provably cannot
+    separate a rare+head OR (prunes to ~100 candidates) from a head+head
+    OR (guaranteed cap overflow): both look identical in (df, gm) space —
+    the v6 crossover's est_kept_fraction=0.998-vs-18/118669-blocks miss."""
+    n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
+    dfs = {t: meta[t][0] for t in present}
+    idfs = {t: idf(n, dfs[t]) for t in present}
+    total = sum(dfs.values())
+    nterms = len(present)
+    exact_cost = EXACT_FLOOR_SEC + total / EXACT_DECODE_RATE_POSTINGS_PER_SEC
+
+    if mode == "and":
+        rare_df = min(dfs.values())
+        if rare_df > DEFAULT_CANDIDATE_CAP:
+            return "exact"  # certain fallback, known from cached df alone
+        rescore_est = min(total, rare_df * nterms * BLOCK_SIZE)
+        wand_cost = WAND_DRIVER_FLOOR_SEC + (
+            (rare_df + rescore_est) / DRIVER_DECODE_RATE_POSTINGS_PER_SEC
+        )
+        return "wand" if wand_cost < exact_cost else "exact"
+
+    from nexlt_spark.query.ranged import _fold_scores_np
+
+    sd = _skip_data(bidx, present)
+    probe_keys = {}
+    probe_postings = 0
+    for t in present:
+        ubs = idfs[t] * sd[t]["mtf"]
+        if ubs.size > PROBE_BLOCKS_PER_TERM:
+            top = np.argpartition(ubs, -PROBE_BLOCKS_PER_TERM)[-PROBE_BLOCKS_PER_TERM:]
+        else:
+            top = np.arange(ubs.size)
+        probe_keys[t] = sd[t]["first"][top]
+        probe_postings += int(sd[t]["n"][top].sum())
+    term_of, ids, tfs, dls = _collect_decode(bidx, None, probe_keys)
+    if ids.size:
+        _, psc, _ = _fold_scores_np(
+            term_of, ids, tfs, dls, sorted(present), idfs, avgdl
+        )
+        theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
+    else:
+        theta = 0.0
+
+    # identical split + kept-mask to _wand_topk_driver
+    gm = {t: idfs[t] * meta[t][1] for t in present}
+    sum_gm = sum(gm.values())
+    by_gm = sorted(present, key=lambda t: gm[t])
+    non_essential: set = set()
+    prefix = 0.0
+    for t in by_gm[:-1]:
+        if prefix + gm[t] < theta:
+            prefix += gm[t]
+            non_essential.add(t)
+        else:
+            break
+    kept_postings = 0
+    for t in present:
+        if t in non_essential:
+            continue
+        cut = theta - (sum_gm - gm[t])
+        kept_postings += int(sd[t]["n"][(idfs[t] * sd[t]["mtf"]) >= cut].sum())
+    if kept_postings > DEFAULT_CANDIDATE_CAP * nterms:
+        return "exact"  # the execution's own certain-overflow pre-check
+    rescore_est = min(total, kept_postings * nterms * BLOCK_SIZE)
+    wand_cost = WAND_DRIVER_FLOOR_SEC + (
+        (probe_postings + kept_postings + rescore_est)
+        / DRIVER_DECODE_RATE_POSTINGS_PER_SEC
+    )
+    return "wand" if wand_cost < exact_cost else "exact"
+
+
 def choose_topk_path(
     bidx: BlockedIndex, terms: List[str], k: int = 10, mode: str = "or"
 ) -> str:
-    """'wand' or 'exact' from cached stats only (no Spark job beyond the
-    memoized term-metadata fill)."""
+    """'wand' or 'exact' — no Spark job beyond the memoized term-metadata
+    fill; on pyarrow-backed stores planning is pure driver-side reads."""
     qterms = sorted(set(terms))
     meta = _term_meta(bidx, qterms)
     if not meta or len(meta) == 1:
         # single-list queries: nothing to prune, exact reads one list
         return "exact"
+    if mode == "and" and len(meta) < len(qterms):
+        return "exact"  # empty result; exact short-circuits driver-side
+    if _pa_ds(bidx) is not None and all(
+        meta[t][2] <= SKIP_CACHE_MAX_BLOCKS for t in meta
+    ):
+        return _choose_driver_plan(bidx, meta, sorted(meta), k, mode)
     if mode == "and":
-        if len(meta) < len(qterms):
-            return "exact"  # empty result; exact short-circuits driver-side
         rare_df = min(m[0] for m in meta.values())
         if rare_df > DEFAULT_CANDIDATE_CAP:
             return "exact"  # candidate collect would overflow → fallback anyway

@@ -11,11 +11,9 @@ distributed BM-WAND that uses it.
 Distributed formulation (no doc-at-a-time cursor; set algebra instead):
 
 1. **θ probe** — decode only the globally highest-upper-bound blocks
-   (`ub = idf_t · max_tfnorm`, `orderBy(ub desc).limit(16·|T|)` =
-   TakeOrderedAndProject over block *metadata*, never postings), fold
-   partial scores. Partial sums of non-negative contributions are lower
-   bounds of exact scores, so θ = k-th best partial is a valid pruning
-   threshold.
+   (`ub = idf_t · max_tfnorm`), fold partial scores. Partial sums of
+   non-negative contributions are lower bounds of exact scores, so
+   θ = k-th best partial is a valid pruning threshold.
 2. **Block pruning with a MaxScore essential split** — terms whose
    ascending-gm prefix sum stays below θ are non-essential (a doc made
    only of them cannot reach θ; Turtle & Flood 1995); keep block b of
@@ -27,22 +25,37 @@ Distributed formulation (no doc-at-a-time cursor; set algebra instead):
 3. **Candidates** — docs of kept blocks (∩ fq doc_filter). Collected to
    the driver iff ≤ candidate_cap (the Lucene collector analog —
    driver-side orchestration of a bounded set); else exact fallback.
-4. **Exact rescore** — decode only blocks whose docID range intersects
-   the candidate *slices* (doc_id >> slice_shift; numpy searchsorted
-   inside mapInPandas — blocks that skip all candidate ranges are never
-   decoded), keep candidate rows, and fold with the SAME
-   `fold_scores` as the exact path ⇒ rank identity by construction.
+4. **Exact rescore** — decode only blocks whose docID range contains a
+   candidate, keep candidate rows, and fold with the SAME `fold_scores`
+   as the exact path ⇒ rank identity by construction.
 
 AND mode drives candidates from the rarest term (classic
 conjunction-by-smallest-list; `CGI/corpus.cgi:338` AND semantics): its
-postings are decoded in full, other terms only where slices intersect;
+postings are decoded in full, other terms only where candidates fall;
 arity is enforced on the full rescored rows, so θ-probing (whose OR
 partials would over-estimate the k-th AND score) is not needed.
+
+**Driver-resident skip data (the default plan).** Lucene's skip lists
+live in memory next to the collector; they are never a cluster job. The
+analog here: per-term block metadata `(first_doc_id, last_doc_id, n,
+max_tfnorm)` is collected ONCE (skinny columns, no payloads) and
+memoized on the index object, so θ-probe block choice, the MaxScore
+essential split, kept-block computation, rescore block intersection,
+cap/fallback decisions, and all pruning telemetry are driver-side numpy
+— zero Spark jobs. The remaining jobs each read only key-selected block
+rows (`first_doc_id IN (...)` pushed to the scan, or a broadcast
+semi-join above the literal cap): OR = 3 small jobs (probe decode,
+candidate decode, rescore), AND = 2 (rare-list decode, rescore), and a
+guaranteed cap overflow falls back BEFORE any candidate job runs.
+Terms whose block count exceeds SKIP_CACHE_MAX_BLOCKS (the 10^12-doc
+head-term case: billions of blocks can't sit on one driver) route the
+whole query through the legacy Spark-side pruning flow below, whose
+pruning runs as cluster-side filters instead.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -57,6 +70,22 @@ from nexlt_spark.scoring import idf
 DEFAULT_CANDIDATE_CAP = 500_000
 DEFAULT_SLICE_SHIFT = 12  # candidate-range granularity: 4096 docIDs
 PROBE_BLOCKS_PER_TERM = 16
+# per-term driver skip-data cap: 1M blocks ≈ 4×8 B arrays = 32 MB/term,
+# covering ~128M postings/term. Above it (true head terms at 10^10+ docs)
+# the legacy Spark-side pruning flow serves the query.
+SKIP_CACHE_MAX_BLOCKS = 1_000_000
+# block-key selections up to this size inline as `first_doc_id IN (...)`
+# literals (parquet-pushable); larger ones broadcast-semi-join instead.
+LITERAL_KEY_CAP = 8192
+# driver-decode caps: a step whose key-selected blocks fit these bounds
+# collects the payload bytes (single-stage Arrow scan, no shuffle) and
+# decodes/scores driver-side in numpy — measured on this box, a Spark
+# job with a groupBy exchange costs ~0.4-0.6 s of pure orchestration
+# regardless of data volume, so WAND only beats the one-job exact plan
+# when its candidate/rescore steps skip the cluster entirely. 4M
+# postings ≈ 6-8 MB of payload over Arrow + ~50 ms of numpy decode.
+DRIVER_DECODE_MAX_BLOCKS = 50_000
+DRIVER_DECODE_MAX_POSTINGS = 4_000_000
 
 
 def _adaptive_slice_shift(n_docs: int, n_candidates: int) -> int:
@@ -150,6 +179,36 @@ def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: Optional[dict] =
 META_QUANTS = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9)
 
 
+def _pa_ds(bidx: BlockedIndex):
+    """Memoized pyarrow.dataset over the on-disk blocks store, or None
+    for in-memory indexes. Driver-side index reads (term metadata, skip
+    data, key-selected payload fetches) go through this — partition-
+    pruned on term_bucket and row-group-pruned on term/first_doc_id
+    stats, in-process and multithreaded, no Spark job. The Lucene
+    analog: the searcher memory-maps its segment files."""
+    path = getattr(bidx, "store_path", None)
+    if not path:
+        return None
+    dset = getattr(bidx, "_pa_dataset", None)
+    if dset is None:
+        import pyarrow.dataset as pds
+
+        dset = pds.dataset(
+            f"{path}/postings_blocks", format="parquet", partitioning="hive"
+        )
+        bidx._pa_dataset = dset
+    return dset
+
+
+def _pa_term_filter(bidx: BlockedIndex, term: str):
+    import pyarrow.dataset as pds
+
+    e = pds.field("term") == term
+    if bidx.n_buckets:
+        e = (pds.field("term_bucket") == _bucket(term, bidx.n_buckets)) & e
+    return e
+
+
 def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
     """(df, max_tfnorm, n_blocks, tfnorm_quantiles) per present query
     term — ONE metadata-only job for cache misses, memoized on the index
@@ -169,6 +228,41 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
         cache = {}
         bidx._term_meta_cache = cache
     missing = [t for t in qterms if t not in cache]
+    if missing and _pa_ds(bidx) is not None:
+        # on-disk stores: read the metadata driver-side (ms, no Spark
+        # job) and fill the skip cache in the same pass for under-cap
+        # terms; over-cap terms fall through to the Spark aggregate.
+        dset = _pa_ds(bidx)
+        skip_cache = getattr(bidx, "_skip_cache", None)
+        if skip_cache is None:
+            skip_cache = {}
+            bidx._skip_cache = skip_cache
+        spark_side = []
+        for t in missing:
+            flt = _pa_term_filter(bidx, t)
+            nb = dset.count_rows(filter=flt)
+            if nb == 0:
+                cache[t] = None
+                continue
+            if nb > SKIP_CACHE_MAX_BLOCKS:
+                spark_side.append(t)
+                continue
+            tbl = dset.to_table(
+                columns=["first_doc_id", "last_doc_id", "n", "max_tfnorm"],
+                filter=flt,
+            )
+            first = tbl.column("first_doc_id").to_numpy().astype(np.int64)
+            order = np.argsort(first, kind="stable")
+            sdt = {
+                "first": first[order],
+                "last": tbl.column("last_doc_id").to_numpy().astype(np.int64)[order],
+                "n": tbl.column("n").to_numpy().astype(np.int64)[order],
+                "mtf": tbl.column("max_tfnorm").to_numpy().astype(np.float64)[order],
+            }
+            skip_cache.setdefault(t, sdt)
+            qs = tuple(float(x) for x in np.quantile(sdt["mtf"], META_QUANTS))
+            cache[t] = (int(sdt["n"].sum()), float(sdt["mtf"].max()), int(nb), qs)
+        missing = spark_side
     if missing:
         rows = (
             _query_blocks(bidx, missing)
@@ -190,6 +284,149 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
         for t in missing:
             cache[t] = found.get(t)  # None = absent from the index
     return {t: cache[t] for t in qterms if cache.get(t) is not None}
+
+
+def _skip_data(bidx: BlockedIndex, terms: List[str]) -> Dict[str, dict]:
+    """Driver-resident per-term skip data: sorted-by-first numpy arrays
+    (first, last, n, mtf) over every block row of the term — salted rows
+    included, so selections built from these keys are never an
+    under-count. ONE skinny Arrow collect per miss set (no payload
+    columns cross the wire), memoized on the index object like
+    `_term_meta`; the caller gates terms to SKIP_CACHE_MAX_BLOCKS."""
+    cache = getattr(bidx, "_skip_cache", None)
+    if cache is None:
+        cache = {}
+        bidx._skip_cache = cache
+    missing = [t for t in terms if t not in cache]
+    if missing and _pa_ds(bidx) is not None:
+        # on-disk stores: _term_meta fills the skip cache in its pyarrow
+        # pass, so this only fires for terms queried before the store
+        # path was set — same driver-side read, one term filter per miss
+        dset = _pa_ds(bidx)
+        for t in missing:
+            tbl = dset.to_table(
+                columns=["first_doc_id", "last_doc_id", "n", "max_tfnorm"],
+                filter=_pa_term_filter(bidx, t),
+            )
+            first = tbl.column("first_doc_id").to_numpy().astype(np.int64)
+            order = np.argsort(first, kind="stable")
+            cache[t] = {
+                "first": first[order],
+                "last": tbl.column("last_doc_id").to_numpy().astype(np.int64)[order],
+                "n": tbl.column("n").to_numpy().astype(np.int64)[order],
+                "mtf": tbl.column("max_tfnorm").to_numpy().astype(np.float64)[order],
+            }
+        return {t: cache[t] for t in terms}
+    if missing:
+        pdf = (
+            _query_blocks(bidx, missing)
+            .select("term", "first_doc_id", "last_doc_id", "n", "max_tfnorm")
+            .toPandas()
+        )
+        for t in missing:
+            g = pdf[pdf["term"] == t]
+            first = g["first_doc_id"].to_numpy(np.int64)
+            order = np.argsort(first, kind="stable")
+            cache[t] = {
+                "first": first[order],
+                "last": g["last_doc_id"].to_numpy(np.int64)[order],
+                "n": g["n"].to_numpy(np.int64)[order],
+                "mtf": g["max_tfnorm"].to_numpy(np.float64)[order],
+            }
+    return {t: cache[t] for t in terms}
+
+
+def _select_blocks_by_keys(
+    blocks_q: DataFrame, keys_by_term: Dict[str, np.ndarray]
+) -> DataFrame:
+    """Restrict block rows to driver-chosen (term, first_doc_id) keys.
+
+    ≤ LITERAL_KEY_CAP total keys inline as per-term `first_doc_id IN`
+    literals (parquet-pushable; In filters reach the scan); above that a
+    broadcast left-semi join carries the keys. Salted stores may hold
+    several block rows per key — a filter/semi-join passes each row once,
+    so duplicates are impossible and over-selection is a superset (safe:
+    probes only raise θ, candidates only widen, rescore rows are masked).
+    """
+    keys = {t: np.unique(v) for t, v in keys_by_term.items() if len(v)}
+    if not keys:
+        return blocks_q.limit(0)
+    total = sum(v.size for v in keys.values())
+    if total <= LITERAL_KEY_CAP:
+        cond = None
+        for t, firsts in keys.items():
+            c = (F.col("term") == t) & F.col("first_doc_id").isin(
+                [int(x) for x in firsts]
+            )
+            cond = c if cond is None else (cond | c)
+        return blocks_q.where(cond)
+    spark = blocks_q.sparkSession
+    rows = [(t, int(x)) for t, firsts in keys.items() for x in firsts]
+    kdf = spark.createDataFrame(rows, "term string, first_doc_id long")
+    return blocks_q.join(F.broadcast(kdf), ["term", "first_doc_id"], "left_semi")
+
+
+def _blocks_hit(sd: dict, cand_ids: np.ndarray) -> np.ndarray:
+    """Boolean mask over a term's skip arrays: block i intersects ≥1
+    candidate docID (exact per-block range test on the sorted candidate
+    array — no slice granularity, no JVM lambda)."""
+    return np.searchsorted(cand_ids, sd["last"], "right") > np.searchsorted(
+        cand_ids, sd["first"], "left"
+    )
+
+
+def _collect_decode(
+    bidx: BlockedIndex, blocks_q: DataFrame, keys_by_term: Dict[str, np.ndarray]
+):
+    """Fetch key-selected block payloads and decode driver-side →
+    (term_of, ids, tfs, dls). On-disk stores read directly with pyarrow
+    (partition/row-group pruned, ~10-100 ms, no Spark job); in-memory
+    indexes fall back to one single-stage Arrow scan collect. The caller
+    bounds the selection with DRIVER_DECODE_MAX_*."""
+    dset = _pa_ds(bidx)
+    if dset is not None:
+        import pyarrow.dataset as pds
+
+        filt = None
+        for t, firsts in keys_by_term.items():
+            if len(firsts) == 0:
+                continue
+            e = _pa_term_filter(bidx, t) & pds.field("first_doc_id").isin(
+                [int(x) for x in np.unique(firsts)]
+            )
+            filt = e if filt is None else (filt | e)
+        if filt is None:
+            empty = np.array([], dtype=np.int64)
+            return np.array([], dtype=object), empty, empty, empty
+        pdf = dset.to_table(
+            columns=["term", "n", "doc_ids", "tfs", "dls"], filter=filt
+        ).to_pandas()
+    else:
+        pdf = (
+            _select_blocks_by_keys(blocks_q, keys_by_term)
+            .select("term", "n", "doc_ids", "tfs", "dls")
+            .toPandas()
+        )
+    if len(pdf) == 0:
+        empty = np.array([], dtype=np.int64)
+        return np.array([], dtype=object), empty, empty, empty
+    block_of, ids, tfs, dls = decode_block_rows(
+        [bytes(x) for x in pdf["doc_ids"]],
+        [bytes(x) for x in pdf["tfs"]],
+        [bytes(x) for x in pdf["dls"]],
+        pdf["n"].to_numpy(),
+    )
+    return pdf["term"].to_numpy()[block_of], ids.astype(np.int64), tfs, dls
+
+
+def _local_topk_df(spark, uids, score, k) -> DataFrame:
+    """(score desc, doc_id asc) top-k as a local DataFrame — row order is
+    the result order (small local data; collect preserves it)."""
+    order = np.lexsort((uids, -score))[:k]
+    pdf = pd.DataFrame(
+        {"doc_id": uids[order].astype(np.int64), "score": score[order].astype(np.float64)}
+    )
+    return spark.createDataFrame(pdf, schema=EMPTY_SCORED_SCHEMA)
 
 
 def _bucket(term: str, n_buckets: int) -> int:
@@ -262,13 +499,12 @@ MAX_JVM_SLICE_FILTER = 4096
 
 
 def _slice_prefilter(blocks: DataFrame, cand_ids: np.ndarray, slice_shift: int) -> DataFrame:
-    """JVM-side skip-list jump: drop block rows whose [first,last] docID
-    range intersects no candidate slice BEFORE the payload bytes cross
-    the Arrow hop (the in-kernel searchsorted skip only avoids decode,
-    not transfer). An F.exists over the slice-id array literal — O(rows ×
-    n_slices) JVM lambda evals, so gated to ≤ MAX_JVM_SLICE_FILTER slices;
-    above that the kernel-side skip alone is the right plan anyway
-    (dense candidates ⇒ nothing to skip)."""
+    """JVM-side skip-list jump for the LEGACY flow (no driver skip data):
+    drop block rows whose [first,last] docID range intersects no
+    candidate slice BEFORE the payload bytes cross the Arrow hop. An
+    F.exists over the slice-id array literal — O(rows × n_slices) JVM
+    lambda evals, so gated to ≤ MAX_JVM_SLICE_FILTER slices; the driver
+    flow replaces this with exact per-block selection from skip data."""
     slices = np.unique(cand_ids >> np.int64(slice_shift))
     if slices.size == 0 or slices.size > MAX_JVM_SLICE_FILTER:
         return blocks
@@ -298,15 +534,18 @@ ROWS_RESCORE_COVERAGE = 0.3
 def _rescore(
     bidx, blocks_q, present, idfs, avgdl, n_required, bc, slice_shift,
     covered: float = 1.0, rescore: str = "auto",
+    rescore_keys: Optional[Dict[str, np.ndarray]] = None,
 ):
     """Candidate-restricted exact rescore — two plans, chosen by the
     estimated slice coverage:
 
     - **rows** (sparse candidates, the WAND design case at scale): decode
-      + slice-skip + mask happen inside mapInPandas on the scan — NO
-      shuffle of block payloads; the fold's groupBy exchanges only the
-      masked posting rows. Cost scales with candidate volume, not corpus
-      size (the §6 crossover's requirement).
+      + skip + mask happen inside mapInPandas on the scan — NO shuffle of
+      block payloads; the fold's groupBy exchanges only the masked
+      posting rows. Cost scales with candidate volume, not corpus size
+      (the §6 crossover's requirement). With driver skip data
+      (rescore_keys) the scan itself reads only the exact intersecting
+      blocks — key-pushed selection, no JVM lambda prefilter.
     - **ranged kernel** (dense candidates on a ranged store): one
       groupBy(rsalt) exchange of block payloads, decode+mask+fold fused
       per range (query.ranged.score_ranged_masked) — cheaper than
@@ -323,7 +562,10 @@ def _rescore(
         return score_ranged_masked(
             blocks_q, present, idfs, avgdl, n_required, bc, slice_shift
         )
-    pruned = _slice_prefilter(blocks_q, bc.value, slice_shift)
+    if rescore_keys is not None:
+        pruned = _select_blocks_by_keys(blocks_q, rescore_keys)
+    else:
+        pruned = _slice_prefilter(blocks_q, bc.value, slice_shift)
     rows = _decode_filtered(pruned, bc, slice_shift)
     return fold_scores(rows, idfs, avgdl, n_required)
 
@@ -338,14 +580,21 @@ def wand_topk(
     slice_shift: Optional[int] = None,
     stats_out: Optional[dict] = None,
     rescore: str = "auto",
+    skip_cache: bool = True,
 ) -> DataFrame:
     """(doc_id, score) top-k via Block-Max WAND; ≡ exact path ranks+scores.
 
-    slice_shift=None (default) sizes the rescore's skip-list granularity
-    to the collected candidate count (_adaptive_slice_shift); pass an int
-    to pin it. stats_out, when given, is filled with pruning telemetry
-    (theta, blocks_total, blocks_kept, n_candidates, slice_shift,
-    fallback).
+    skip_cache=True (default) serves the query from driver-resident skip
+    data when every present term's block count fits the cache cap —
+    block selection/pruning/fallback decisions are then driver-side numpy
+    and each Spark job reads only key-selected blocks. skip_cache=False
+    (or an over-cap term) routes through the legacy cluster-side pruning
+    flow. slice_shift=None (default) sizes the rescore's skip-list
+    granularity to the collected candidate count (_adaptive_slice_shift);
+    pass an int to pin it. stats_out, when given, is filled with pruning
+    telemetry (theta, blocks_total, blocks_kept, n_candidates,
+    slice_shift, fallback, plan) — free on the driver plan (no extra
+    Spark jobs).
     """
     spark = bidx.doc_stats.sparkSession
     qterms = sorted(set(terms))
@@ -354,20 +603,256 @@ def wand_topk(
     if not present or (mode == "and" and len(present) < len(qterms)):
         return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
 
+    use_driver = skip_cache and all(
+        meta[t][2] <= SKIP_CACHE_MAX_BLOCKS for t in present
+    )
+    if stats_out is not None:
+        stats_out["plan"] = "driver" if use_driver else "spark"
+    if use_driver:
+        return _wand_topk_driver(
+            bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
+            slice_shift, stats_out, rescore,
+        )
+    return _wand_topk_spark(
+        bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
+        slice_shift, stats_out, rescore,
+    )
+
+
+def _exact_fallback(bidx, present, mode, doc_filter, k) -> DataFrame:
+    # delegate to the exact path (which itself picks the per-range
+    # fused plan on ranged stores — per_range_limit=k is safe, WAND
+    # has no post-hoc row removal beyond doc_filter, handled inside)
+    from nexlt_spark.query.exact import score_postings
+
+    scored = score_postings(bidx, present, mode, doc_filter, per_range_limit=k)
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _wand_topk_driver(
+    bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
+    slice_shift, stats_out, rescore,
+) -> DataFrame:
+    """The skip-data plan: pruning decisions on driver-resident block
+    metadata, Spark jobs only over key-selected blocks (module docstring,
+    'Driver-resident skip data'). Steps whose selected volume fits the
+    DRIVER_DECODE caps skip Spark entirely — payloads come back through
+    one single-stage Arrow scan and decode/fold/top-k run in numpy
+    (bit-identical to the Column fold via ranged._fold_scores_np), so a
+    pruning-friendly query costs 2 (AND) or 3 (OR) shuffle-free scan
+    jobs total. doc_filter forces the cluster-side steps (θ and
+    candidates must reflect the filter, which lives in a DataFrame)."""
+    from nexlt_spark.query.ranged import _fold_scores_np
+
+    n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
+    dfs = {t: meta[t][0] for t in present}
+    idfs = {t: idf(n, dfs[t]) for t in present}
+    n_required = len(present) if mode == "and" else None
+    terms_sorted = sorted(present)
+
+    if mode == "and":
+        rare = min(present, key=lambda t: dfs[t])
+        if doc_filter is None and dfs[rare] > candidate_cap:
+            # certain overflow, known from cached df — zero wasted jobs
+            if stats_out is not None:
+                stats_out["fallback"] = True
+            return _exact_fallback(bidx, present, mode, doc_filter, k)
+
+    sd = _skip_data(bidx, present)
+    blocks_q = _query_blocks(bidx, present, idfs)
+
+    def _fits(keys: Dict[str, np.ndarray], postings: int) -> bool:
+        return (
+            sum(v.size for v in keys.values()) <= DRIVER_DECODE_MAX_BLOCKS
+            and postings <= DRIVER_DECODE_MAX_POSTINGS
+        )
+
+    if mode == "and":
+        # rarest-term-driven conjunction: candidates = smallest list,
+        # decoded via its (already-complete) key set.
+        rare_keys = {rare: sd[rare]["first"]}
+        if doc_filter is None and _fits(rare_keys, dfs[rare]):
+            # dfs[rare] ≤ candidate_cap already (pre-check above), and a
+            # term's postings are doc-unique → candidates = decoded ids
+            _, ids, _, _ = _collect_decode(bidx, blocks_q, rare_keys)
+            cand_ids = np.unique(ids)
+        else:
+            cand_rows = _decode_filtered(_select_blocks_by_keys(blocks_q, rare_keys))
+            cand_df = cand_rows.select("doc_id")
+            if doc_filter is not None:
+                cand_df = cand_df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+            cand = cand_df.limit(candidate_cap + 1).collect()
+            if len(cand) > candidate_cap:
+                if stats_out is not None:
+                    stats_out["fallback"] = True
+                return _exact_fallback(bidx, present, mode, doc_filter, k)
+            cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
+        if cand_ids.size == 0:
+            return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+        theta = None
+        kept_mask = {rare: np.ones(sd[rare]["first"].size, dtype=bool)}
+    else:
+        # ---- OR: θ probe → MaxScore split → kept blocks → candidates ----
+        gm = {t: idfs[t] * meta[t][1] for t in present}
+        sum_gm = sum(gm.values())
+
+        # θ-probe block choice is a driver-side argpartition over each
+        # term's block-ub array — no metadata sort job, no key collect.
+        probe_keys = {}
+        for t in present:
+            ubs = idfs[t] * sd[t]["mtf"]
+            if ubs.size > PROBE_BLOCKS_PER_TERM:
+                top = np.argpartition(ubs, -PROBE_BLOCKS_PER_TERM)[-PROBE_BLOCKS_PER_TERM:]
+            else:
+                top = np.arange(ubs.size)
+            probe_keys[t] = sd[t]["first"][top]
+        if doc_filter is None:
+            # probe payloads are ≤ 16·|T| blocks by construction — always
+            # a driver decode; partial fold in numpy (≡ fold_scores bits)
+            term_of, ids, tfs, dls = _collect_decode(bidx, blocks_q, probe_keys)
+            _, psc, _ = _fold_scores_np(
+                term_of, ids, tfs, dls, terms_sorted, idfs, avgdl
+            )
+            theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
+        else:
+            # θ must reflect the filter (an unfiltered θ could exceed the
+            # filtered k-th score and over-prune) — filter lives in a
+            # DataFrame, so the probe fold runs cluster-side
+            probe_rows = _decode_filtered(_select_blocks_by_keys(blocks_q, probe_keys))
+            probe_rows = probe_rows.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+            partial = fold_scores(probe_rows, idfs, avgdl, None)
+            topk_partial = partial.orderBy(F.col("score").desc()).limit(k).collect()
+            theta = topk_partial[-1]["score"] if len(topk_partial) >= k else 0.0
+
+        # MaxScore essential-list split (Turtle & Flood 1995; Lucene's
+        # MaxScoreBulkScorer does the same partition): order terms by
+        # ascending gm and mark the maximal prefix whose gm prefix-sum
+        # stays BELOW θ as non-essential — a doc containing only
+        # non-essential terms scores < θ and cannot enter the top-k, so
+        # candidate discovery needs only the essential terms' kept
+        # blocks; the rescore still folds non-essential contributions
+        # exactly. Without this split, a rare high-idf term ORed with a
+        # hot term keeps EVERY hot block (θ ≤ gm_rare makes the
+        # per-block cut vacuous for the hot term) and the candidate
+        # collect blows the cap.
+        by_gm = sorted(present, key=lambda t: gm[t])
+        non_essential: set = set()
+        prefix = 0.0
+        for t in by_gm[:-1]:  # the largest-gm term is always essential
+            if prefix + gm[t] < theta:
+                prefix += gm[t]
+                non_essential.add(t)
+            else:
+                break
+        essential = [t for t in present if t not in non_essential]
+
+        # keep b(t) iff ub_b + Σ_{t'≠t} gm_{t'} ≥ θ ⇔ ub_b ≥ θ-(sum_gm-gm_t)
+        # (valid for candidate discovery restricted to essential terms: a
+        # doc scoring ≥ θ has its argmax-essential-term block kept — its
+        # other terms' contributions are dominated by their gms)
+        kept_mask = {}
+        for t in present:
+            if t in non_essential:
+                kept_mask[t] = np.zeros(sd[t]["first"].size, dtype=bool)
+                continue
+            cut = theta - (sum_gm - gm[t])
+            kept_mask[t] = (idfs[t] * sd[t]["mtf"]) >= cut
+        kept_postings = int(sum(sd[t]["n"][kept_mask[t]].sum() for t in present))
+        if doc_filter is None and kept_postings > candidate_cap * len(present):
+            # distinct candidates ≥ Σn/|terms| > cap — overflow is certain
+            # before any candidate job runs (v3's 11.5 s or_head2 case).
+            if stats_out is not None:
+                stats_out["fallback"] = True
+            return _exact_fallback(bidx, present, mode, doc_filter, k)
+
+        kept_keys = {t: sd[t]["first"][kept_mask[t]] for t in essential}
+        if doc_filter is None and _fits(kept_keys, kept_postings):
+            _, ids, _, _ = _collect_decode(bidx, blocks_q, kept_keys)
+            cand_ids = np.unique(ids)
+            if cand_ids.size > candidate_cap:
+                if stats_out is not None:
+                    stats_out["fallback"] = True
+                return _exact_fallback(bidx, present, mode, doc_filter, k)
+        else:
+            cand_df = (
+                _decode_filtered(_select_blocks_by_keys(blocks_q, kept_keys))
+                .select("doc_id")
+                .distinct()
+            )
+            if doc_filter is not None:
+                cand_df = cand_df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+            cand = cand_df.limit(candidate_cap + 1).collect()
+            if len(cand) > candidate_cap:
+                if stats_out is not None:
+                    stats_out["fallback"] = True
+                return _exact_fallback(bidx, present, mode, doc_filter, k)
+            cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
+        if cand_ids.size == 0:
+            return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+
+    # ---- rescore: exact per-block intersection against candidates ----
+    shift = (
+        _adaptive_slice_shift(n, cand_ids.size) if slice_shift is None else slice_shift
+    )
+    rescore_keys = {}
+    hit_postings = 0
+    for t in present:
+        hit = _blocks_hit(sd[t], cand_ids)
+        rescore_keys[t] = sd[t]["first"][hit]
+        hit_postings += int(sd[t]["n"][hit].sum())
+    total_postings = sum(dfs.values())
+    covered = hit_postings / total_postings if total_postings else 1.0
+
+    use_local = rescore == "auto" and _fits(rescore_keys, hit_postings)
+    if stats_out is not None:
+        stats_out.update(
+            fallback=False,
+            theta=(float(theta) if theta is not None else None),
+            n_candidates=int(cand_ids.size),
+            blocks_total=int(sum(sd[t]["first"].size for t in present)),
+            blocks_kept=int(sum(m.sum() for m in kept_mask.values())),
+            rescore_blocks=int(sum(v.size for v in rescore_keys.values())),
+            slice_shift=shift,
+            covered=round(covered, 4),
+            rescore_plan="local" if use_local else rescore,
+        )
+        if mode == "or":
+            stats_out["n_essential"] = len(essential)
+
+    if use_local:
+        # the whole rescore fits the driver caps: one shuffle-free scan
+        # collects the intersecting blocks' payloads, numpy masks to the
+        # candidates and folds (bit-identical to the Column fold)
+        term_of, ids, tfs, dls = _collect_decode(bidx, blocks_q, rescore_keys)
+        m = np.isin(ids, cand_ids)
+        uids, sc, cnt = _fold_scores_np(
+            term_of[m], ids[m], tfs[m], dls[m], terms_sorted, idfs, avgdl
+        )
+        keep = cnt == n_required if n_required is not None else np.ones(len(uids), bool)
+        return _local_topk_df(spark, uids[keep], sc[keep], k)
+
+    bc = spark.sparkContext.broadcast(cand_ids)
+    scored = _rescore(
+        bidx, blocks_q, present, idfs, avgdl, n_required, bc, shift, covered,
+        rescore, rescore_keys,
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _wand_topk_spark(
+    bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
+    slice_shift, stats_out, rescore,
+) -> DataFrame:
+    """Legacy cluster-side pruning flow — block selection and candidate
+    discovery as Spark filters/sorts. Serves queries whose terms exceed
+    the driver skip-data cap (10^10+-doc head terms) and skip_cache=False
+    callers; pays an extra metadata sort job (OR probe keys) and JVM
+    slice prefilters the driver plan avoids."""
     n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
     dfs = {t: meta[t][0] for t in present}
     idfs = {t: idf(n, dfs[t]) for t in present}
     blocks_q = _query_blocks(bidx, present, idfs)
     n_required = len(present) if mode == "and" else None
-
-    def _exact_fallback() -> DataFrame:
-        # delegate to the exact path (which itself picks the per-range
-        # fused plan on ranged stores — per_range_limit=k is safe, WAND
-        # has no post-hoc row removal beyond doc_filter, handled inside)
-        from nexlt_spark.query.exact import score_postings
-
-        scored = score_postings(bidx, present, mode, doc_filter, per_range_limit=k)
-        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     if mode == "and":
         # rarest-term-driven conjunction: candidates = smallest list.
@@ -380,7 +865,7 @@ def wand_topk(
         if len(cand) > candidate_cap:
             if stats_out is not None:
                 stats_out["fallback"] = True
-            return _exact_fallback()
+            return _exact_fallback(bidx, present, mode, doc_filter, k)
         cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
@@ -433,18 +918,8 @@ def wand_topk(
     topk_partial = partial.orderBy(F.col("score").desc()).limit(k).collect()
     theta = topk_partial[-1]["score"] if len(topk_partial) >= k else 0.0
 
-    # MaxScore essential-list split (Turtle & Flood 1995; Lucene's
-    # MaxScoreBulkScorer does the same partition): order terms by
-    # ascending gm and mark the maximal prefix whose gm prefix-sum stays
-    # BELOW θ as non-essential — a doc containing only non-essential
-    # terms scores < θ and cannot enter the top-k, so candidate
-    # discovery needs only the essential terms' kept blocks. The
-    # non-essential lists still contribute exactly: the rescore decodes
-    # them wherever a candidate slice intersects. Without this split, a
-    # rare high-idf term ORed with a hot term keeps EVERY hot block
-    # (θ ≤ gm_rare makes the per-block cut vacuous for the hot term) and
-    # the candidate collect blows the cap — the BENCH.md §6 round-2
-    # fallback rows.
+    # MaxScore essential-list split — see _wand_topk_driver for the
+    # correctness argument; here the split feeds a cluster-side filter.
     by_gm = sorted(present, key=lambda t: gm[t])
     non_essential: set = set()
     prefix = 0.0
@@ -457,9 +932,6 @@ def wand_topk(
     essential = [t for t in present if t not in non_essential]
 
     # keep b(t) iff ub_b + Σ_{t'≠t} gm_{t'} ≥ θ  ⇔  ub_b ≥ θ - (sum_gm - gm_t)
-    # (valid for candidate discovery restricted to essential terms: a doc
-    # scoring ≥ θ has its argmax-essential-term block kept — its other
-    # terms' contributions are dominated by their gms, essential or not)
     gm_col = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(gm[t]))])[
         F.col("term")
     ]
@@ -475,7 +947,7 @@ def wand_topk(
     if len(cand) > candidate_cap:
         if stats_out is not None:
             stats_out["fallback"] = True
-        return _exact_fallback()
+        return _exact_fallback(bidx, present, mode, doc_filter, k)
     cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
     if cand_ids.size == 0:
         return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)

@@ -142,3 +142,55 @@ def test_bucket_parity_spark_vs_python(spark, index):
     }
     for t in terms:
         assert _bucket(t, 32) == got[t]
+
+
+@pytest.mark.parametrize("terms,mode,k", [
+    (["run", "file"], "and", 10),
+    (["run", "file"], "or", 10),
+    (["the", "error"], "or", 25),
+    (["spark", "index", "merge"], "or", 10),
+])
+def test_wand_spark_plan_equals_exact(index, blocked_salted, terms, mode, k):
+    """The legacy cluster-side pruning flow (what over-cap head terms at
+    10^10+ docs route through) stays rank-identical when forced."""
+    stats = {}
+    got = _wand(blocked_salted, terms, k, mode, stats_out=stats, skip_cache=False)
+    assert stats["plan"] == "spark"
+    assert got == _exact_topk(index, terms, k, mode)
+
+
+def test_wand_driver_plan_is_default_and_counts_blocks(blocked_salted, index):
+    """Small-cap terms serve from driver-resident skip data: the plan is
+    'driver', pruning telemetry is filled without Spark count jobs, and
+    the rescore reads only candidate-intersecting blocks."""
+    rare = index.term_stats.orderBy(F.col("df").asc(), F.col("term")).filter(
+        F.col("df") >= 3
+    ).limit(1).collect()[0]["term"]
+    terms = ["the", rare]
+    stats = {}
+    got = _wand(blocked_salted, terms, 3, "or", stats_out=stats)
+    assert stats["plan"] == "driver"
+    assert got == _exact_topk(index, terms, 3, "or")
+    assert stats["rescore_blocks"] <= stats["blocks_total"], stats
+    # skip data is memoized on the index: present terms are cached, so a
+    # repeat query fetches no new metadata
+    assert set(terms) <= set(blocked_salted._skip_cache)
+
+
+def test_wand_on_disk_store_pyarrow_path(spark, index, tmp_path_factory):
+    """An on-disk store serves WAND through driver-side pyarrow reads
+    (store_path set by load_blocked_index) — rank/score identity vs the
+    exact path, zero Spark jobs for metadata/skip/payload fetches."""
+    from nexlt_spark.index.blocks import load_blocked_index, save_blocked_index
+
+    path = str(tmp_path_factory.mktemp("wand_store") / "idx")
+    save_blocked_index(index, path, n_buckets=8, salt_threshold=5, range_shift=6)
+    bidx = load_blocked_index(spark, path)
+    assert bidx.store_path == path
+    for terms, mode, k in [(["run", "file"], "and", 10), (["the", "error"], "or", 25)]:
+        stats = {}
+        got = _wand(bidx, terms, k, mode, stats_out=stats)
+        assert stats["plan"] == "driver"
+        assert got == _exact_topk(index, terms, k, mode)
+    # the metadata pass populated both driver caches without Spark jobs
+    assert set(["run", "file"]) <= set(bidx._skip_cache)
