@@ -194,3 +194,30 @@ def test_wand_on_disk_store_pyarrow_path(spark, index, tmp_path_factory):
         assert got == _exact_topk(index, terms, k, mode)
     # the metadata pass populated both driver caches without Spark jobs
     assert set(["run", "file"]) <= set(bidx._skip_cache)
+
+
+def test_wand_driver_plan_zero_spark_jobs(spark, index, tmp_path_factory):
+    """The Lucene-searcher analog, asserted (PLANS.md §'Driver skip-data
+    WAND'): with warm term-metadata/skip caches on an on-disk store,
+    planning + pruning + payload fetch schedule ZERO Spark jobs — block
+    payloads come back through pyarrow dataset reads — and materializing
+    the ≤k-row local answer costs at most one job."""
+    from nexlt_spark.index.blocks import load_blocked_index, save_blocked_index
+
+    path = str(tmp_path_factory.mktemp("wand_zerojob") / "idx")
+    save_blocked_index(index, path, n_buckets=8, salt_threshold=5, range_shift=6)
+    bidx = load_blocked_index(spark, path)
+    shapes = [(["run", "file"], "and", 10), (["the", "error"], "or", 25)]
+    for terms, mode, k in shapes:  # warm metadata + skip caches
+        wand_topk(bidx, terms, k=k, mode=mode).collect()
+    tracker = spark.sparkContext.statusTracker()
+    for terms, mode, k in shapes:
+        before = tracker.getJobIdsForGroup(None)
+        stats = {}
+        df = wand_topk(bidx, terms, k=k, mode=mode, stats_out=stats)
+        assert stats["plan"] == "driver" and stats["rescore_plan"] == "local"
+        assert tracker.getJobIdsForGroup(None) == before, (terms, mode)
+        rows = df.collect()
+        assert len(rows) > 0
+        after = tracker.getJobIdsForGroup(None)
+        assert len(after) - len(before) <= 1, (terms, mode)
