@@ -34,6 +34,24 @@ from nexlt_spark.stemmer_light import (
     russian_light_stem,
     spanish_light_stem,
 )
+from nexlt_spark.stemmer_light2 import (
+    CA_ELISION,
+    bulgarian_light_stem,
+    catalan_light_stem,
+    czech_light_stem,
+    danish_light_stem,
+    dutch_light_stem,
+    finnish_light_stem,
+    greek_light_stem,
+    hindi_light_stem,
+    hungarian_light_stem,
+    indonesian_light_stem,
+    norwegian_light_stem,
+    persian_normalize,
+    romanian_light_stem,
+    swedish_light_stem,
+    turkish_light_stem,
+)
 
 # [^\W_] == word char minus underscore == Unicode letter or digit.
 TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
@@ -202,6 +220,26 @@ ANALYZERS = {
     "ar_light": Chain(token_map=arabic_light_stem),
     "ru_light": Chain(token_map=russian_light_stem),
     "ja_seg": Chain(regex=JA_TOKEN_RE, stream_map=ja_stream),
+    # batch 2: the remaining dictionary-free chains (stemmer_light2
+    # module docstring for the schema.xml line map). All are vocab-level
+    # token maps — same memoized pandas_udf path, no new UDF shapes.
+    "nl_light": Chain(token_map=dutch_light_stem),
+    "sv_light": Chain(token_map=swedish_light_stem),
+    "no_light": Chain(token_map=norwegian_light_stem),
+    "da_light": Chain(token_map=danish_light_stem),
+    "fi_light": Chain(token_map=finnish_light_stem),
+    "hu_light": Chain(token_map=hungarian_light_stem),
+    "cz_light": Chain(token_map=czech_light_stem),
+    "bg_light": Chain(token_map=bulgarian_light_stem),
+    "ro_light": Chain(token_map=romanian_light_stem),
+    "ca_light": Chain(
+        token_map=_elide_then(CA_ELISION, catalan_light_stem), stream_map=_drop_empty
+    ),
+    "el_light": Chain(token_map=greek_light_stem),
+    "tr_light": Chain(token_map=turkish_light_stem),
+    "fa_norm": Chain(token_map=persian_normalize),
+    "hi_light": Chain(token_map=hindi_light_stem),
+    "id_light": Chain(token_map=indonesian_light_stem),
 }
 
 # The same tokenizer expressed as an ANSI-SQL expression for the DuckDB
