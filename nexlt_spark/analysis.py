@@ -36,7 +36,13 @@ from nexlt_spark.stemmer_light import (
 )
 from nexlt_spark.stemmer_light2 import (
     CA_ELISION,
+    GA_ELISION,
+    armenian_light_stem,
+    basque_light_stem,
     bulgarian_light_stem,
+    galician_light_stem,
+    irish_light_stem,
+    latvian_light_stem,
     catalan_light_stem,
     czech_light_stem,
     danish_light_stem,
@@ -240,6 +246,21 @@ ANALYZERS = {
     "fa_norm": Chain(token_map=persian_normalize),
     "hi_light": Chain(token_map=hindi_light_stem),
     "id_light": Chain(token_map=indonesian_light_stem),
+    # batch 3 closes the language set (stemmer_light2 docstring):
+    # text_eu/ga/gl/hy/lv, plus the three fieldTypes the reference
+    # declares as Standard+LowerCase with the stemmer commented out —
+    # exact aliases of the standard chain, kept as named entries so a
+    # schema.xml field mapping resolves 1:1.
+    "eu_light": Chain(token_map=basque_light_stem),
+    "ga_light": Chain(
+        token_map=_elide_then(GA_ELISION, irish_light_stem), stream_map=_drop_empty
+    ),
+    "gl_light": Chain(token_map=galician_light_stem),
+    "hy_light": Chain(token_map=armenian_light_stem),
+    "lv_light": Chain(token_map=latvian_light_stem),
+    "he_std": Chain(),  # text_he schema.xml:665-673 (stemmer commented out)
+    "sk_std": Chain(),  # text_sk schema.xml:838-847 (stemmer commented out)
+    "vi_std": Chain(),  # text_vi schema.xml:880-888 (stemmer commented out)
 }
 
 # The same tokenizer expressed as an ANSI-SQL expression for the DuckDB

@@ -11,7 +11,16 @@ chains (solr/NeXLT/solr/collection1/conf/schema.xml): Dutch
 Bulgarian (text_bg :479-487), Romanian (text_ro :817-826), Catalan
 (text_ca :489-498, with elision), Greek (text_el :556-565), Turkish
 (text_tr :870-878), Persian (text_fa :588-598, normalization only),
-Hindi (text_hi :651-662) and Indonesian (text_id :696-704).
+Hindi (text_hi :651-662), Indonesian (text_id :696-704); batch 3
+completes the set: Basque (text_eu :578-587), Irish (text_ga :626-639,
+with elision + mutation folding), Galician (text_gl :640-650), Armenian
+(text_hy :686-695) and Latvian (text_lv :771-780).  Hebrew/Slovak/
+Vietnamese (text_he :665-673, text_sk :838-847, text_vi :880-888)
+declare Standard+LowerCase with the stemmer commented OUT in the
+reference, so they alias the ``standard`` chain; Polish (text_pl,
+Stempel statistical dictionary) and Thai (text_th, ICU dictionary
+word-break) are dictionary-backed and stay documented non-goals like
+Kuromoji-exact Japanese.
 
 Same contract as ``stemmer_light`` (its module docstring): these are
 ORIGINAL conservative rule sets modeling each chain's *retrieval
@@ -413,3 +422,106 @@ def indonesian_light_stem(w: str) -> str:
             w = w[len(p):]
             break
     return w
+
+
+# ---------------------------------------------------------------------------
+# Basque: light analog of text_eu (schema.xml:578-587, Snowball(Basque)
+# in the reference). Agglutinative determiner+case endings; one
+# longest-first layer covers the article (-a/-ak) and the common cases.
+# Bare -etik (consonant-root ablative) is deliberately absent: it
+# over-strips vowel-final roots (etxetik), which -tik serves exactly.
+# ---------------------------------------------------------------------------
+
+_EU_ENDINGS = (
+    "arengatik", "arentzat", "arekin", "aren",
+    "etatik", "etarako", "etako", "etara", "etan",
+    "engatik", "entzat", "ekin", "rako", "tik",
+    "ari", "ak", "an", "ek", "ei", "en", "ra", "ko", "a",
+)
+
+
+def basque_light_stem(w: str) -> str:
+    return _strip_one(w, _EU_ENDINGS, 3)
+
+
+# ---------------------------------------------------------------------------
+# Irish: light analog of text_ga (schema.xml:626-639 — Elision
+# (lang/contractions_ga.txt: d m b) + IrishLowerCase + Snowball(Irish)).
+# Initial-mutation folding so mutated forms share the base key: eclipsis
+# clusters (mb-/gc-/nd-/bhf-/ng-/bp-/dt- never begin unmutated words)
+# and lenition (consonant + h). IrishLowerCaseFilter's n-/t- prothesis
+# handling needs the original CASE (n- before an uppercase vowel), which
+# a lowercased stream cannot recover — not modeled, by construction.
+# ---------------------------------------------------------------------------
+
+GA_ELISION = frozenset("dmb")  # lang/contractions_ga.txt verbatim
+
+_GA_ECLIPSIS = {"bhf": "f", "mb": "b", "gc": "c", "nd": "d",
+                "ng": "g", "bp": "p", "dt": "t"}
+_GA_SUFFIXES = ("eanna", "anna", "acha", "aí", "í")
+
+
+def irish_light_stem(w: str) -> str:
+    for pre, base in _GA_ECLIPSIS.items():
+        if w.startswith(pre) and len(w) - len(pre) >= 2:
+            w = base + w[len(pre):]
+            break
+    else:
+        if len(w) > 3 and w[1] == "h" and w[0] in "bcdfgmpst":
+            w = w[0] + w[2:]  # lenition: charr → carr, bhord → bord
+    return _strip_one(w, _GA_SUFFIXES, 3)
+
+
+# ---------------------------------------------------------------------------
+# Galician: light analog of text_gl (schema.xml:640-650; the fieldType's
+# own comment offers GalicianMinimalStemFilter — plural-only — as the
+# less aggressive option, which is what this models): accent fold +
+# plural -ns → -n (canción/cancións) and plain -s.
+# ---------------------------------------------------------------------------
+
+_GL_ACCENT = str.maketrans("áéíóúü", "aeiouu")
+
+
+def galician_light_stem(w: str) -> str:
+    w = w.translate(_GL_ACCENT)
+    if w.endswith("ns") and len(w) >= 5:
+        return w[:-1]
+    if w.endswith("s") and len(w) >= 4:
+        return w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Armenian: light analog of text_hy (schema.xml:686-695,
+# Snowball(Armenian) in the reference) — one layer of plural (-ner/-er
+# with case) + case/article endings. Ablaut alternations (գիրք/գրքեր)
+# are lexical and out of scope for a light stemmer.
+# ---------------------------------------------------------------------------
+
+_HY_ENDINGS = (
+    "ներում", "ներով", "ներին", "ներից", "ների", "ները", "ներ",
+    "երում", "երով", "երից", "երի", "երը", "եր",
+    "ում", "ով", "ից", "ին", "ի", "ը", "ն",
+)
+
+
+def armenian_light_stem(w: str) -> str:
+    return _strip_one(w, _HY_ENDINGS, 3)
+
+
+# ---------------------------------------------------------------------------
+# Latvian: light analog of text_lv (schema.xml:771-780; LatvianStemFilter
+# is itself a published light stemmer) — one declension layer, macrons
+# kept (phonemic in Latvian; the Lucene filter keeps them too).
+# ---------------------------------------------------------------------------
+
+_LV_ENDINGS = (
+    "ajiem", "ajai", "ajam", "ajās",
+    "iem", "ām", "am", "ās", "as", "us", "os", "es",
+    "ij", "īm", "em", "um", "ai", "ei",
+    "a", "i", "e", "u", "s", "š",
+)
+
+
+def latvian_light_stem(w: str) -> str:
+    return _strip_one(w, _LV_ENDINGS, 3)

@@ -12,7 +12,12 @@ import pytest
 
 from nexlt_spark.analysis import ANALYZERS, tokenize
 from nexlt_spark.stemmer_light2 import (
+    armenian_light_stem,
+    basque_light_stem,
     bulgarian_light_stem,
+    galician_light_stem,
+    irish_light_stem,
+    latvian_light_stem,
     catalan_light_stem,
     czech_light_stem,
     danish_light_stem,
@@ -163,6 +168,56 @@ CASES = {
         ],
         ("ajar", "baca"),
     ),
+    # batch 3
+    "eu": (
+        basque_light_stem,
+        [
+            # absolutive sg/pl, inessive, ablative
+            ["etxe", "etxea", "etxeak", "etxean", "etxetik", "etxeetan"],
+            ["liburu", "liburua", "liburuak", "liburutik"],
+        ],
+        ("etxea", "liburua"),
+    ),
+    "ga": (
+        irish_light_stem,
+        [
+            # eclipsis (gc-), lenition (ch-), plural -anna
+            ["carr", "gcarr", "charr", "carranna"],
+            ["fadhb", "bhfadhb", "fadhbanna"],
+            ["bord", "mbord", "bhord"],
+            ["scoil", "scoileanna"],
+        ],
+        ("carr", "bord"),
+    ),
+    "gl": (
+        galician_light_stem,
+        [
+            ["libro", "libros"],
+            ["canción", "cancións"],  # accent fold + -ns plural
+            ["tradución", "traducións"],
+        ],
+        ("libro", "canción"),
+    ),
+    "hy": (
+        armenian_light_stem,
+        [
+            # article, plural -ner with genitive, instrumental
+            ["համակարգիչ", "համակարգիչը", "համակարգիչներ",
+             "համակարգիչների", "համակարգիչով"],
+            ["լեզու", "լեզուն", "լեզուների"],
+        ],
+        ("համակարգիչ", "լեզու"),
+    ),
+    "lv": (
+        latvian_light_stem,
+        [
+            # nom/gen/acc/dat; macrons kept (phonemic)
+            ["grāmata", "grāmatas", "grāmatu", "grāmatai"],
+            ["valoda", "valodas", "valodu"],
+            ["ceļš", "ceļa", "ceļu"],
+        ],
+        ("grāmata", "valoda"),
+    ),
 }
 
 CHAIN_OF = {
@@ -170,6 +225,8 @@ CHAIN_OF = {
     "fi": "fi_light", "hu": "hu_light", "cz": "cz_light", "bg": "bg_light",
     "ro": "ro_light", "ca": "ca_light", "el": "el_light", "tr": "tr_light",
     "fa": "fa_norm", "hi": "hi_light", "id": "id_light",
+    "eu": "eu_light", "ga": "ga_light", "gl": "gl_light",
+    "hy": "hy_light", "lv": "lv_light",
 }
 
 
@@ -226,6 +283,25 @@ def test_catalan_elision_drops_articles():
         catalan_light_stem("home"),
         catalan_light_stem("aigua"),
     ]
+
+
+def test_irish_elision_drops_contractions():
+    # lang/contractions_ga.txt is exactly {d, m, b}
+    assert tokenize("d'athair m'anam", "ga_light") == [
+        irish_light_stem("athair"),
+        irish_light_stem("anam"),
+    ]
+
+
+def test_std_aliases_equal_standard_chain():
+    # text_he/sk/vi declare Standard+LowerCase with the stemmer commented
+    # out in the reference — the named chains must behave exactly like
+    # "standard"
+    text = "Xin chào thế giới 123"
+    for chain in ("he_std", "sk_std", "vi_std"):
+        spec = ANALYZERS[chain]
+        assert spec.token_map is None and spec.stream_map is None
+        assert tokenize(text, chain) == tokenize(text)
 
 
 @pytest.fixture(scope="module")
