@@ -540,11 +540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _multimodal_profile(s, d):
         # binary media plumbing (decode is a deterministic fake — no media
-        # libs in this container); rows-only check, seeded synth input
+        # libs in this container); the synth table's metadata is pure
+        # arithmetic of the row index, so the oracle re-derives it with
+        # generate_series — full value-hash check, not rows-only
         from nexlt_spark.ops import multimodal
 
         media = multimodal.synth_media(s, n=64, seed=42)
-        return multimodal.metadata_profile(media)
+        prof = multimodal.metadata_profile(media)
+        return prof.select(
+            "kind", "n", "avg_duration_ms", F.col("max_width").cast("long").alias("max_width")
+        )
 
     q["multimodal_metadata_profile"] = _multimodal_profile
 
@@ -794,7 +799,23 @@ def oracle_sql() -> dict[str, str]:
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id\n"
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
-    # multimodal_metadata_profile: synthetic binary media, no table — rows-only
+    # multimodal_metadata_profile: the seeded synth table (ops/multimodal.py
+    # synth_media n=64 seed=42) sets kind/width/duration as pure arithmetic
+    # of the row index, so the oracle re-derives the table in SQL; only the
+    # payload bytes (which metadata_profile never reads) need hashing
+    o["multimodal_metadata_profile"] = (
+        "WITH m AS (\n"
+        "  SELECT i,\n"
+        "    CASE i%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,\n"
+        "    CASE WHEN i%3 <> 1 THEN 64 + (i%8)*16 END AS width,\n"
+        "    CASE WHEN i%3 <> 0 THEN 1000*(1+i%30) END AS duration_ms\n"
+        "  FROM generate_series(0, 63) t(i)\n"
+        ")\n"
+        "SELECT kind, COUNT(*)::BIGINT AS n,\n"
+        "  ROUND(AVG(duration_ms), 2)::DOUBLE AS avg_duration_ms,\n"
+        "  MAX(width)::BIGINT AS max_width\n"
+        "FROM m GROUP BY kind ORDER BY kind"
+    )
 
     # exact variant: the engine's inverted-shingle-index candidates have
     # full recall, so it must equal the exhaustive all-pairs scan exactly
