@@ -63,27 +63,54 @@ class OracleIndex:
             return set(self.docs)
         return {i for i, d in self.docs.items() if self._passes(d, f, exists)}
 
-    def _phrase_ids(self, phrase: str, within: set) -> set:
+    def _phrase_ids(self, phrase: str, within: set, slop: int = 0) -> set:
+        """slop=0: adjacent subsequence. slop>0: ordered window — the
+        phrase tokens appear in order, anchored at a start occurrence of
+        the first token, inside a window of len(pt)+slop positions (the
+        greedy leftmost subsequence check inside the bounded window is
+        exact — a deliberately different construction from the engine's
+        greedy-minimal-end chain, so the two validate each other)."""
         pt = tokenize(phrase, self.analyzer)
         if not pt:
             return within
+        m = len(pt)
+
+        def window_match(toks, s) -> bool:
+            j = 0
+            for tok in toks[s : s + m + slop]:
+                if tok == pt[j]:
+                    j += 1
+                    if j == m:
+                        return True
+            return False
+
         out = set()
         for i in within:
             toks = self.tokens[i]
-            n, m = len(toks), len(pt)
-            for s in range(n - m + 1):
-                if toks[s : s + m] == pt:
-                    out.add(i)
-                    break
+            if any(
+                toks[s] == pt[0] and window_match(toks, s)
+                for s in range(len(toks) - m + 1)
+            ):
+                out.add(i)
         return out
 
     # -- scoring ---------------------------------------------------------
-    def score(self, terms: List[str], mode: str, candidates: Optional[set] = None) -> Dict[int, float]:
+    def score(
+        self,
+        terms: List[str],
+        mode: str,
+        candidates: Optional[set] = None,
+        boosts: Optional[Dict[str, float]] = None,
+    ) -> Dict[int, float]:
         qterms = sorted(set(terms))
         present = [t for t in qterms if t in self.postings]
         if not present or (mode == "and" and len(present) < len(qterms)):
             return {}
         idfs = {t: idf(self.n_docs, self.df(t)) for t in present}
+        if boosts:
+            # same driver-side float multiply as the engine (exact.py /
+            # ranged.py) — boosted rank identity is bit-exact
+            idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
         per_doc: Dict[int, list] = defaultdict(list)
         for t in present:
             for did, tf in self.postings[t].items():
@@ -121,8 +148,14 @@ class OracleIndex:
                 if t not in terms:
                     terms.append(t)
             mode = "and"
-            cands = self._phrase_ids(q.phrase, cands)
-        scored = self.score(terms, mode, cands)
+            cands = self._phrase_ids(q.phrase, cands, q.phrase_slop)
+        eff = None
+        if q.boosts:
+            eff = {}
+            for raw, b in q.boosts.items():
+                for tok in tokenize(raw, self.analyzer):
+                    eff[tok] = eff.get(tok, 1.0) * b
+        scored = self.score(terms, mode, cands, boosts=eff)
         ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[q.start : q.start + q.k]
 
@@ -144,7 +177,7 @@ class OracleIndex:
                 terms.extend(tokenize(r, self.analyzer))
             cands = set(self.score(terms, q.mode, cands))
         if q.phrase:
-            cands = self._phrase_ids(q.phrase, cands)
+            cands = self._phrase_ids(q.phrase, cands, q.phrase_slop)
         rows = [self.docs[i] for i in cands]
 
         def key(d):

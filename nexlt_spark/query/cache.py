@@ -47,6 +47,8 @@ def query_key(q: Query) -> Tuple:
         q.mode,
         tuple(sorted(set(q.not_terms))) if q.not_terms else None,
         q.phrase,
+        q.phrase_slop,
+        tuple(sorted((q.boosts or {}).items())) or None,
         q.exists,
         tuple(sorted(f.roles)) if f.roles else None,
         tuple(sorted(f.tools)) if f.tools else None,
@@ -100,6 +102,7 @@ def cached_topk(
 
     qq = Query(
         terms=q.terms, mode=q.mode, not_terms=q.not_terms, phrase=q.phrase,
+        phrase_slop=q.phrase_slop, boosts=q.boosts,
         filters=q.filters, exists=q.exists, start=0, k=fetch,
     )
     scored = ranked_scores(index, documents, qq)

@@ -105,6 +105,7 @@ def score_postings(
     mode: str = "or",
     doc_filter: Optional[DataFrame] = None,
     per_range_limit: Optional[int] = None,
+    boosts: Optional[dict] = None,
 ) -> DataFrame:
     """(doc_id, score) for a term query. Deterministic float fold.
 
@@ -115,6 +116,12 @@ def score_postings(
     per_range_limit: on a ranged store, truncate each doc-range to its
     top-(limit) rows inside the kernel (global-order-preserving); pass
     start+k only when no post-hoc row removal (NOT terms) follows.
+
+    boosts: analyzed-term → query-time boost (``term^2.5``); multiplies
+    that term's idf, i.e. scales its whole BM25 contribution, exactly as
+    a Lucene boost scales the clause score. Applied identically here and
+    in the ranged kernel (one driver-side float multiply before the plan
+    is built — rank identity vs the oracle holds boosted or not).
     """
     if getattr(index, "ranged", False):
         # per-range fused plan (query.ranged): decode+score+arity in one
@@ -124,7 +131,8 @@ def score_postings(
         from nexlt_spark.query.ranged import score_ranged
 
         scored = score_ranged(
-            index, terms, mode, per_range_limit if doc_filter is None else None
+            index, terms, mode, per_range_limit if doc_filter is None else None,
+            boosts=boosts,
         )
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
@@ -139,6 +147,8 @@ def score_postings(
     n = index.stats.n_docs
     avgdl = index.stats.avgdl
     idfs = {t: idf(n, dfs[t]) for t in present}
+    if boosts:
+        idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
 
     if hasattr(index, "lookup"):
         p = index.lookup(present)
@@ -166,7 +176,9 @@ def prohibited_docs(index: InvertedIndex, not_terms: List[str], analyzer: str = 
     return p.select("doc_id").distinct()
 
 
-def phrase_match_docs(index: InvertedIndex, phrase_tokens: List[str]) -> DataFrame:
+def phrase_match_docs(
+    index: InvertedIndex, phrase_tokens: List[str], slop: int = 0
+) -> DataFrame:
     """doc_ids containing the phrase, from the POSITIONS INDEX only.
 
     The Lucene PhraseQuery plan (the reference UI's default text filter is
@@ -177,6 +189,16 @@ def phrase_match_docs(index: InvertedIndex, phrase_tokens: List[str]) -> DataFra
     ONLY the phrase terms' posting rows (never documents.text): one
     groupBy(doc_id) over those rows, then pure JVM array algebra. Repeated
     phrase tokens reuse the same posting row at each offset.
+
+    slop > 0 (``"..."~N``, the sloppy PhraseQuery of the raw syntax
+    parallel.cgi exposes): ORDERED window semantics — match iff an
+    in-order, strictly-increasing position chain exists whose span minus
+    (n−1) is ≤ slop (see Query.phrase_slop for the Lucene-reorder
+    divergence note). Same postings-only plan: per start position the
+    greedy minimal-end chain is built with nested higher-order Column
+    functions (transform/filter/array_min — whole-stage codegen, no UDF);
+    greedy is optimal because taking the smallest valid next position
+    never hurts later steps, so span minimality per start is exact.
     """
     spark = index.doc_stats.sparkSession
     uniq = sorted(set(phrase_tokens))
@@ -196,13 +218,32 @@ def phrase_match_docs(index: InvertedIndex, phrase_tokens: List[str]) -> DataFra
     def _shift(i: int):
         # NB: a `lambda x, _i=i:` two-parameter lambda would be read by
         # pyspark as the (element, index) transform form — closure factory
-        # keeps arity 1 (same pitfall as ops.minhash._seeded)
         return lambda x: x - i
 
-    alive = F.col("pm")[phrase_tokens[0]]
-    for i, t in enumerate(phrase_tokens[1:], start=1):
-        alive = F.array_intersect(alive, F.transform(F.col("pm")[t], _shift(i)))
-    return per_doc.where(F.size(alive) > 0).select("doc_id")
+    if slop <= 0:
+        alive = F.col("pm")[phrase_tokens[0]]
+        for i, t in enumerate(phrase_tokens[1:], start=1):
+            alive = F.array_intersect(alive, F.transform(F.col("pm")[t], _shift(i)))
+        return per_doc.where(F.size(alive) > 0).select("doc_id")
+
+    def _chain(t: str):
+        # closure factory (arity-1 pitfall above); nulls propagate a
+        # broken chain: array_min(filter(…)) of no successor is NULL,
+        # x > NULL filters everything, and the final NULL span compares
+        # to NULL which `where` treats as no-match
+        arr = F.col("pm")[t]
+        return lambda e: F.array_min(F.filter(arr, lambda x: x > e))
+
+    n = len(phrase_tokens)
+    starts = F.col("pm")[phrase_tokens[0]]
+    ends = starts
+    for t in phrase_tokens[1:]:
+        ends = F.transform(ends, _chain(t))
+    ok = F.exists(
+        F.zip_with(starts, ends, lambda s, e: (e - s - F.lit(n - 1)) <= F.lit(slop)),
+        lambda b: b,
+    )
+    return per_doc.where(ok).select("doc_id")
 
 
 def phrase_score_postings(
@@ -281,15 +322,21 @@ def phrase_docs(
     phrase_tokens: List[str],
     analyzer: str = "standard",
     doc_filter: Optional[DataFrame] = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Dispatch phrase matching: positions index when available (postings
     only — the scale plan), else the re-tokenize fallback. Returns the
     doc_id set, intersected with doc_filter when given."""
     if getattr(index, "has_positions", False):
-        cand = phrase_match_docs(index, phrase_tokens)
+        cand = phrase_match_docs(index, phrase_tokens, slop=slop)
         if doc_filter is not None:
             cand = cand.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return cand
+    if slop > 0:
+        raise ValueError(
+            "sloppy phrases (\"...\"~N) require a positions index; "
+            "build with positions=True"
+        )
     base = documents if doc_filter is None else documents.join(
         doc_filter.select("doc_id"), "doc_id", "left_semi"
     )
@@ -325,6 +372,16 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
     else:
         mode = q.mode
 
+    # effective analyzed-token boosts: each raw boosted clause (term or
+    # quoted phrase) scales every token it analyzes to; tokens reached by
+    # several boosted clauses multiply (model.py Query.boosts contract)
+    eff_boosts = None
+    if q.boosts:
+        eff_boosts = {}
+        for raw, b in q.boosts.items():
+            for tok in tokenize(raw, an):
+                eff_boosts[tok] = eff_boosts.get(tok, 1.0) * b
+
     doc_filter = None
     if not q.filters.is_empty() or q.exists:
         doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
@@ -335,6 +392,8 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
         q.phrase
         and getattr(index, "has_positions", False)
         and set(terms) <= set(tokenize(q.phrase, an))
+        and q.phrase_slop == 0  # fused kernels verify exact adjacency only
+        and not eff_boosts  # fused plans compute idf internally, unscaled
     ):
         ptoks = tokenize(q.phrase, an)
         if getattr(index, "ranged", False):
@@ -352,8 +411,13 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
             scored = phrase_score_postings(index, ptoks, doc_filter)
     else:
         if q.phrase:
-            doc_filter = phrase_docs(index, documents, tokenize(q.phrase, an), an, doc_filter)
-        scored = score_postings(index, terms, mode, doc_filter, per_range_limit=prl)
+            doc_filter = phrase_docs(
+                index, documents, tokenize(q.phrase, an), an, doc_filter,
+                slop=q.phrase_slop,
+            )
+        scored = score_postings(
+            index, terms, mode, doc_filter, per_range_limit=prl, boosts=eff_boosts
+        )
     if q.not_terms:
         excl = prohibited_docs(index, q.not_terms, an)
         if excl is not None:
@@ -448,7 +512,10 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
             base = base.join(scored.select("doc_id"), "doc_id", "left_semi")
         if q.phrase:
             base = base.join(
-                phrase_docs(index, documents, tokenize(q.phrase, an), an, base.select("doc_id")),
+                phrase_docs(
+                    index, documents, tokenize(q.phrase, an), an,
+                    base.select("doc_id"), slop=q.phrase_slop,
+                ),
                 "doc_id",
                 "left_semi",
             )

@@ -51,6 +51,22 @@ class Query:
     phrase   — exact-phrase filter, fq enu:"..." analog
                (solrTestLib_v2.js:43,53); non-scoring, candidates scored
                by their terms.
+    phrase_slop — ``"..."~N`` (Lucene sloppy phrase; the raw-syntax
+               surface parallel.cgi links users to). ORDERED semantics:
+               a doc matches iff its token stream contains the phrase
+               tokens in order within a window of ``len(tokens)+slop``
+               positions (span − (n−1) ≤ slop). Lucene additionally
+               matches REORDERED terms when the slop budget covers the
+               transpositions; this engine implements the ordered
+               subset and documents the divergence here. Requires a
+               positions index. 0 = exact adjacency (the default).
+    boosts   — raw-term → query-time boost (``term^2.5``, Lucene boost
+               syntax). Each raw term's boost multiplies the BM25 idf of
+               every analyzed token it produces (Lucene: boost scales
+               the clause's score contribution); tokens produced by
+               several boosted raw terms multiply their boosts.
+               Non-scoring clauses (fq, NOT, filters) ignore boosts,
+               matching Solr.
     filters  — conjunctive metadata filters.
     sort     — None = relevance (score desc, doc_id asc tiebreak,
                CGI/parallel.cgi:157 analog); else [(col, 'asc'|'desc'),…]
@@ -68,6 +84,8 @@ class Query:
     mode: str = "or"
     not_terms: Optional[List[str]] = None
     phrase: Optional[str] = None
+    phrase_slop: int = 0
+    boosts: Optional[dict] = None
     filters: QueryFilters = field(default_factory=QueryFilters)
     sort: Optional[List[Tuple[str, str]]] = None
     start: int = 0

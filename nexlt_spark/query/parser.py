@@ -16,6 +16,12 @@ actually uses plus the standard operators — into the engine's flat
 - ranges                     ``ts:[2024-01-01 TO 2024-02-01]``,
   open ends with ``*``; ``field:[* TO *]`` = existence (corpus.cgi:330)
 - match-all                  ``*:*``
+- query-time boosts          ``term^2.5`` / ``"a b"^2`` (Lucene boost;
+  scales the clause's BM25 contribution — Query.boosts)
+- phrase slop                ``"a b"~2`` (ordered window —
+  Query.phrase_slop; see model.py for the Lucene-divergence note)
+- fuzzy ``term~N`` is refused loudly (unsupported), never silently
+  treated as a literal
 - ``maxBooleanClauses`` cap  (solrconfig.xml:500)
 
 The flat Query model is deliberate (SURVEY.md §3): every reference query
@@ -45,7 +51,9 @@ _TOKEN_RE = re.compile(
   | (?P<rparen>\))
   | (?P<star>\*)
   | (?P<minus>-)
-  | (?P<word>[^\s()\[\]":]+)
+  | (?P<caret>\^)
+  | (?P<tilde>~)
+  | (?P<word>[^\s()\[\]":^~]+)
     """,
     re.VERBOSE,
 )
@@ -100,6 +108,8 @@ class _Clause:
     value: object = None
     prohibited: bool = False
     conn_before: Optional[str] = None  # connective linking to previous clause
+    boost: Optional[float] = None  # term^2.5
+    slop: Optional[int] = None  # "a b"~2
 
 
 def _scan(s: str) -> List[dict]:
@@ -138,6 +148,40 @@ def _parse_clauses(s: str, default_field: str) -> List[_Clause]:
         if "word" in t:
             return _Clause(fld, "term", t["word"])
         raise QueryParseError(f"expected a value, got {t}")
+
+    def consume_suffix(c: _Clause, i: int) -> int:
+        # Lucene value suffixes: term^2.5 / "a b"^2.5 (boost) and
+        # "a b"~2 (phrase slop). term~N is FUZZY — out of scope, refused
+        # loudly rather than silently treated as a literal.
+        while i < len(toks) and ("caret" in toks[i] or "tilde" in toks[i]):
+            t = toks[i]
+            if i + 1 >= len(toks) or "word" not in toks[i + 1]:
+                op = "^" if "caret" in t else "~"
+                raise QueryParseError(f"{op!r} must be followed by a number")
+            num = toks[i + 1]["word"]
+            if "caret" in t:
+                if c.kind not in ("term", "phrase"):
+                    raise QueryParseError(f"boost on a {c.kind} clause is not supported")
+                try:
+                    c.boost = float(num)
+                except ValueError as e:
+                    raise QueryParseError(f"bad boost value {num!r}") from e
+                if c.boost < 0:
+                    raise QueryParseError(f"negative boost {num!r}")
+            else:
+                if c.kind != "phrase":
+                    raise QueryParseError(
+                        "fuzzy term queries (term~N) are not supported; "
+                        "~N applies to quoted phrases only"
+                    )
+                try:
+                    c.slop = int(num)
+                except ValueError as e:
+                    raise QueryParseError(f"bad slop value {num!r} (integer required)") from e
+                if c.slop < 0:
+                    raise QueryParseError(f"negative slop {num!r}")
+            i += 2
+        return i
 
     while i < len(toks):
         t = toks[i]
@@ -183,11 +227,13 @@ def _parse_clauses(s: str, default_field: str) -> List[_Clause]:
                 c.prohibited = prohibited
                 c.conn_before = pending_conn
                 i += 1
+                i = consume_suffix(c, i)
         else:
             c = value_clause(default_field, t)
             c.prohibited = prohibited
             c.conn_before = pending_conn
             i += 1
+            i = consume_suffix(c, i)
         out.append(c)
         pending_conn = None
         prohibited = False
@@ -224,6 +270,8 @@ def parse_query(
     terms: List[str] = []
     not_terms: List[str] = []
     phrase: Optional[str] = None
+    phrase_slop = 0
+    boosts: Dict[str, float] = {}
     exists = False
     mode: Optional[str] = None
     roles: List[str] = []
@@ -251,8 +299,19 @@ def parse_query(
                 if phrase is not None:
                     raise QueryParseError("multiple phrases are not supported")
                 phrase = c.value
+                phrase_slop = c.slop or 0
+                if c.boost is not None:
+                    # phrase boost scales each phrase token's contribution
+                    # (keys are tokenized at score time, so the raw phrase
+                    # text is a valid boost key)
+                    boosts[c.value] = boosts.get(c.value, 1.0) * c.boost
             elif c.kind == "term":
-                (not_terms if c.prohibited else terms).append(c.value)
+                if c.prohibited:
+                    not_terms.append(c.value)  # NOT is non-scoring; boost ignored
+                else:
+                    terms.append(c.value)
+                    if c.boost is not None:
+                        boosts[c.value] = boosts.get(c.value, 1.0) * c.boost
             elif c.kind == "disj":
                 if c.prohibited:
                     not_terms.extend(c.value)
@@ -267,6 +326,10 @@ def parse_query(
         # filter fields (non-scoring, conjunctive — fq semantics)
         if c.prohibited:
             raise QueryParseError(f"prohibited filter {c.field!r} is not supported")
+        if c.slop is not None:
+            raise QueryParseError(f"slop on filter field {c.field!r} is not supported")
+        # c.boost on a filter clause is accepted and ignored: filters never
+        # score (Solr fq semantics)
         if c.kind == "range":
             if c.field not in RANGE_FIELDS:
                 raise QueryParseError(f"range on non-range field {c.field!r}")
@@ -302,6 +365,8 @@ def parse_query(
         mode=mode or "or",
         not_terms=not_terms or None,
         phrase=phrase,
+        phrase_slop=phrase_slop,
+        boosts={k: v for k, v in boosts.items() if v != 1.0} or None,
         filters=filters,
         sort=sort,
         start=start,

@@ -187,6 +187,7 @@ def score_ranged(
     terms: List[str],
     mode: str = "or",
     limit: Optional[int] = None,
+    boosts: Optional[dict] = None,
 ) -> DataFrame:
     """(doc_id, score) via the per-range fused kernel. Requires a
     uniformly ranged BlockedIndex (index.ranged — the packed builder).
@@ -194,6 +195,10 @@ def score_ranged(
     limit: optional per-range top-(limit) truncation with the global
     (score desc, doc_id asc) ordering — safe to pass start+k when no
     post-hoc filtering (NOT terms / fq) will remove rows.
+
+    boosts: analyzed-term → query-time boost; scales the term's idf
+    before the kernel is built (same driver-side multiply as the flat
+    fold in query.exact — boosted plans stay bit-identical across paths).
     """
     spark = index.doc_stats.sparkSession
     qterms = sorted(set(terms))
@@ -203,6 +208,8 @@ def score_ranged(
         return spark.createDataFrame([], SCORED_SCHEMA)
     n, avgdl = index.stats.n_docs, index.stats.avgdl
     idfs = {t: idf(n, dfs[t]) for t in present}
+    if boosts:
+        idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
     kernel = _score_kernel(
         present, idfs, avgdl, len(present) if mode == "and" else None, limit
     )

@@ -95,9 +95,15 @@ def _merge_fq(base: Query, fq_parsed: Query) -> None:
     if fq_parsed.not_terms:
         base.not_terms = sorted(set(base.not_terms or []) | set(fq_parsed.not_terms))
     if fq_parsed.phrase:
-        if base.phrase is not None and base.phrase != fq_parsed.phrase:
+        if base.phrase is None:
+            base.phrase = fq_parsed.phrase
+            base.phrase_slop = fq_parsed.phrase_slop
+        elif base.phrase != fq_parsed.phrase:
             raise QueryParseError("multiple phrase filters are not supported")
-        base.phrase = fq_parsed.phrase
+        else:
+            # conjunction of two windows over the same phrase = the
+            # tighter (smaller-slop) window
+            base.phrase_slop = min(base.phrase_slop, fq_parsed.phrase_slop)
     if fq_parsed.exists:
         base.exists = True
     bf, ff = base.filters, fq_parsed.filters

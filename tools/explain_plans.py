@@ -120,6 +120,19 @@ def main() -> None:
         )
     )
 
+    # 4b. sloppy phrase ("a b"~N): the greedy position-chain variant must
+    # keep the same postings-only, zero-Python shape — the ordered-window
+    # verify is nested higher-order Columns, not a UDF
+    q5s = phrase_docs(loaded, docs, ["table", "part"], slop=2)
+    sections.append(
+        (
+            'Sloppy phrase ("table part"~2): ordered window from positions',
+            plan_text(q5s),
+            ["PushedFilters"],
+            ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     # 5. embedding near-dup: exact projection-bucketed join — no cartesian
     from nexlt_spark.ops.similarity import projection_near_dup_pairs
 
