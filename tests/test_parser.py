@@ -133,3 +133,25 @@ def test_generic_field_filter_applies(spark):
     idx = build_index(docs)
     q = parse_query("alpha AND lang:en", count_only=True)
     assert run_query(idx, docs, q).collect()[0]["num_found"] == 2
+
+
+# ------------------------------------------------------------------ fuzz
+
+def test_parser_never_crashes_on_noise():
+    """Any input must either parse into a Query or raise QueryParseError —
+    the handler surface (select.py) turns the latter into a 400, so no
+    other exception type may escape (hypothesis-style seeded fuzz)."""
+    import random
+
+    from nexlt_spark.query.model import Query
+    from nexlt_spark.query.parser import QueryParseError, parse_query
+
+    rng = random.Random(20260818)
+    alphabet = list('ab :"()[]*-^~AND OR NOT role:ts TO 0123456789.')
+    for _ in range(3000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        try:
+            q = parse_query(s)
+        except QueryParseError:
+            continue
+        assert isinstance(q, Query)
