@@ -133,6 +133,17 @@ def main():
             idx, documents, Query(terms=["spark", "index", "merge"], mode="or", k=10)
         ).collect(),
         "q_phrase": lambda: bm25_topk(idx, documents, Query(phrase="the run", k=10)).collect(),
+        # raw-Lucene-syntax shapes (round 3): ordered sloppy window and a
+        # boosted OR — same postings-only plans, greedy position chains /
+        # one idf multiply on top of the exact fold
+        "q_phrase_slop": lambda: bm25_topk(
+            idx, documents, Query(phrase="the run", phrase_slop=3, k=10)
+        ).collect(),
+        "q_boosted_or": lambda: bm25_topk(
+            idx, documents,
+            Query(terms=["spark", "index", "merge"], mode="or",
+                  boosts={"merge": 8.0}, k=10),
+        ).collect(),
         "q_filtered": lambda: bm25_topk(
             idx,
             documents,
