@@ -215,6 +215,17 @@ def phrase_match_docs(
         )
         .where(F.size("pm") == len(uniq))  # token-AND prefilter
     )
+    return per_doc.where(_phrase_alive_col(phrase_tokens, slop)).select("doc_id")
+
+
+def _phrase_alive_col(phrase_tokens: List[str], slop: int):
+    """Boolean Column over a ``pm`` (term → ascending positions array) map
+    column: does an in-order position chain of the phrase tokens exist
+    with span − (n−1) ≤ slop? slop 0 compiles to the shifted-intersect
+    adjacency form; slop > 0 to greedy minimal-end chains. Shared by the
+    two-pass (phrase_match_docs) and fused (phrase_score_postings) plans.
+    """
+
     def _shift(i: int):
         # NB: a `lambda x, _i=i:` two-parameter lambda would be read by
         # pyspark as the (element, index) transform form — closure factory
@@ -224,7 +235,7 @@ def phrase_match_docs(
         alive = F.col("pm")[phrase_tokens[0]]
         for i, t in enumerate(phrase_tokens[1:], start=1):
             alive = F.array_intersect(alive, F.transform(F.col("pm")[t], _shift(i)))
-        return per_doc.where(F.size(alive) > 0).select("doc_id")
+        return F.size(alive) > 0
 
     def _chain(t: str):
         # closure factory (arity-1 pitfall above); nulls propagate a
@@ -239,17 +250,17 @@ def phrase_match_docs(
     ends = starts
     for t in phrase_tokens[1:]:
         ends = F.transform(ends, _chain(t))
-    ok = F.exists(
+    return F.exists(
         F.zip_with(starts, ends, lambda s, e: (e - s - F.lit(n - 1)) <= F.lit(slop)),
         lambda b: b,
     )
-    return per_doc.where(ok).select("doc_id")
 
 
 def phrase_score_postings(
     index: InvertedIndex,
     phrase_tokens: List[str],
     doc_filter: Optional[DataFrame] = None,
+    slop: int = 0,
 ) -> DataFrame:
     """FUSED phrase plan: adjacency verify + BM25 scoring in ONE
     groupBy(doc_id) over the phrase terms' postings.
@@ -261,6 +272,11 @@ def phrase_score_postings(
     and arity filter the aggregated rows. Halves the shuffle of the
     two-pass plan (phrase_match_docs + score_postings re-grouping the
     same posting rows).
+
+    slop > 0 swaps the adjacency intersect for the same greedy
+    minimal-end ordered-window chain as phrase_match_docs — the verify
+    runs on the pm map this aggregation already collects, so sloppy
+    phrases keep the one-pass shuffle shape.
     """
     spark = index.doc_stats.sparkSession
     uniq = sorted(set(phrase_tokens))
@@ -281,14 +297,7 @@ def phrase_score_postings(
         ).alias("pm"),
     )
     g = g.where(F.size("cs") == len(uniq))  # token-AND arity
-
-    def _shift(i: int):
-        return lambda x: x - i
-
-    alive = F.col("pm")[phrase_tokens[0]]
-    for i, t in enumerate(phrase_tokens[1:], start=1):
-        alive = F.array_intersect(alive, F.transform(F.col("pm")[t], _shift(i)))
-    g = g.where(F.size(alive) > 0)
+    g = g.where(_phrase_alive_col(phrase_tokens, slop))
     return g.select(
         "doc_id",
         F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
@@ -392,7 +401,9 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
         q.phrase
         and getattr(index, "has_positions", False)
         and set(terms) <= set(tokenize(q.phrase, an))
-        and q.phrase_slop == 0  # fused kernels verify exact adjacency only
+        # the ranged numpy kernel verifies exact adjacency only; the flat
+        # fused plan shares _phrase_alive_col and takes any slop
+        and (q.phrase_slop == 0 or not getattr(index, "ranged", False))
         and not eff_boosts  # fused plans compute idf internally, unscaled
     ):
         ptoks = tokenize(q.phrase, an)
@@ -408,7 +419,7 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
                 scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         else:
             # fused one-pass phrase plan (scored terms are the phrase tokens)
-            scored = phrase_score_postings(index, ptoks, doc_filter)
+            scored = phrase_score_postings(index, ptoks, doc_filter, slop=q.phrase_slop)
     else:
         if q.phrase:
             doc_filter = phrase_docs(
