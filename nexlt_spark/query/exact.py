@@ -401,19 +401,18 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
         q.phrase
         and getattr(index, "has_positions", False)
         and set(terms) <= set(tokenize(q.phrase, an))
-        # the ranged numpy kernel verifies exact adjacency only; the flat
-        # fused plan shares _phrase_alive_col and takes any slop
-        and (q.phrase_slop == 0 or not getattr(index, "ranged", False))
         and not eff_boosts  # fused plans compute idf internally, unscaled
     ):
         ptoks = tokenize(q.phrase, an)
         if getattr(index, "ranged", False):
-            # fused per-range phrase plan: adjacency + scoring inside the
-            # range kernel (positions never leave it)
+            # fused per-range phrase plan: adjacency (or ordered slop
+            # window) + scoring inside the range kernel (positions never
+            # leave it)
             from nexlt_spark.query.ranged import phrase_score_ranged
 
             scored = phrase_score_ranged(
-                index, ptoks, prl if doc_filter is None else None
+                index, ptoks, prl if doc_filter is None else None,
+                slop=q.phrase_slop,
             )
             if doc_filter is not None:
                 scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")

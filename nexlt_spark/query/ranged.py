@@ -128,6 +128,7 @@ def _phrase_kernel(
     idfs: dict,
     avgdl: float,
     limit: Optional[int],
+    slop: int = 0,
 ):
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         term_of, ids, tfs, dls, pos_flat = _decode_group(pdf, positions=True)
@@ -148,16 +149,57 @@ def _phrase_kernel(
                 f"doc_id {ids.max()} exceeds the {63 - POS_BITS}-bit phrase-key "
                 "budget — lower POS_BITS or renumber doc_ids"
             )
-        # adjacency: a doc matches iff ∃v present in every token's shifted
-        # position set — progressive intersect of fused (doc, pos-i) keys
-        alive = None
-        for i, t in enumerate(phrase_tokens):
-            m = (term_of_pos == t) & (pos_flat >= i)
-            keys = (doc_of_pos[m] << POS_BITS) + (pos_flat[m] - i)
-            alive = keys if alive is None else np.intersect1d(alive, keys)
-            if len(alive) == 0:
-                return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
-        pdocs = np.unique(alive >> POS_BITS)
+        if slop <= 0:
+            # adjacency: a doc matches iff ∃v present in every token's
+            # shifted position set — progressive intersect of fused
+            # (doc, pos-i) keys
+            alive = None
+            for i, t in enumerate(phrase_tokens):
+                m = (term_of_pos == t) & (pos_flat >= i)
+                keys = (doc_of_pos[m] << POS_BITS) + (pos_flat[m] - i)
+                alive = keys if alive is None else np.intersect1d(alive, keys)
+                if len(alive) == 0:
+                    return pd.DataFrame(
+                        {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+                    )
+            pdocs = np.unique(alive >> POS_BITS)
+        else:
+            # ordered sloppy window ("a b"~N): greedy minimal-end chains
+            # over the same fused keys. Fused keys sort by (doc, pos), so
+            # searchsorted(K_i, e, 'right') lands on the smallest key > e;
+            # if it belongs to the same doc it IS the greedy next step
+            # (optimal — a smaller valid next position never hurts later
+            # steps), otherwise the chain is broken. Wholly vectorized:
+            # one searchsorted per phrase token over all start positions.
+            per_tok = []
+            for t in phrase_tokens:
+                m = term_of_pos == t
+                per_tok.append(np.sort((doc_of_pos[m] << POS_BITS) + pos_flat[m]))
+            if any(len(k) == 0 for k in per_tok):
+                return pd.DataFrame(
+                    {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+                )
+            starts = per_tok[0]
+            ends = starts.copy()
+            broken = np.zeros(len(starts), dtype=bool)
+            sent = np.int64((1 << 62) - 1)  # searchsorted past any real key
+            for ki in per_tok[1:]:
+                idx = np.searchsorted(ki, ends, side="right")
+                valid = idx < len(ki)
+                cand = ki[np.minimum(idx, len(ki) - 1)]
+                same_doc = valid & ((cand >> POS_BITS) == (ends >> POS_BITS))
+                broken |= ~same_doc
+                ends = np.where(same_doc, cand, sent)
+            ntoks = len(phrase_tokens)
+            ok = ~broken & (
+                (ends & (_MAX_POS - 1)) - (starts & (_MAX_POS - 1)) - (ntoks - 1)
+                <= slop
+            )
+            if not ok.any():
+                return pd.DataFrame(
+                    {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+                )
+            pdocs = np.unique(starts[ok] >> POS_BITS)
         uids, sc, cnt = _fold_scores_np(
             term_of, ids, tfs, dls, terms_sorted, idfs, avgdl
         )
@@ -266,9 +308,11 @@ def phrase_score_ranged(
     index,
     phrase_tokens: List[str],
     limit: Optional[int] = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Fused phrase plan on a ranged positions-bearing store: adjacency
-    AND scoring inside the per-range kernel (positions never leave it)."""
+    (or the slop>0 ordered window — greedy searchsorted chains) AND
+    scoring inside the per-range kernel (positions never leave it)."""
     spark = index.doc_stats.sparkSession
     uniq = sorted(set(phrase_tokens))
     dfs = index.term_dfs(uniq)
@@ -276,6 +320,6 @@ def phrase_score_ranged(
         return spark.createDataFrame([], SCORED_SCHEMA)
     n, avgdl = index.stats.n_docs, index.stats.avgdl
     idfs = {t: idf(n, dfs[t]) for t in uniq}
-    kernel = _phrase_kernel(phrase_tokens, uniq, idfs, avgdl, limit)
+    kernel = _phrase_kernel(phrase_tokens, uniq, idfs, avgdl, limit, slop=slop)
     blocks = _pruned_blocks(index, uniq, positions=True)
     return blocks.groupBy("rsalt").applyInPandas(kernel, SCORED_SCHEMA)

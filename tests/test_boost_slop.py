@@ -236,3 +236,37 @@ def test_select_rows_raw_syntax(pos_index, documents, oracle):
     got = select_rows(pos_index, documents, q="spark^2.5 join", rows=5, use_cache=False)
     want = oracle.topk(Query(terms=["spark", "join"], boosts={"spark": 2.5}, k=5))
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+
+def test_slop_ranged_kernel_matches_oracle(mini):
+    # the in-kernel greedy searchsorted chain (ranged store) must agree
+    # with the oracle window scan and the Column-chain path everywhere
+    from nexlt_spark.index.packed import build_blocked_direct
+    from nexlt_spark.query.ranged import phrase_score_ranged
+
+    docs, idx, orc = mini
+    ridx = build_blocked_direct(docs, range_shift=2, positions=True).persist()
+    for phrase, slop, want in SLOP_CASES:
+        got = {
+            r["doc_id"]
+            for r in phrase_score_ranged(ridx, phrase.split(), slop=slop).collect()
+        }
+        assert got == want, (phrase, slop)
+
+
+def test_slop_ranged_end_to_end(mini, documents, oracle, pos_index):
+    # full Query with slop over a ranged store built from the shared
+    # corpus: rank- and score-identical to the oracle
+    from nexlt_spark.index.packed import build_blocked_direct
+
+    ridx = build_blocked_direct(documents, range_shift=8, positions=True).persist()
+    for phrase, slop in (("the run", 1), ("run file", 2), ("run file test", 3)):
+        q = Query(phrase=phrase, phrase_slop=slop, k=10)
+        want = oracle.topk(q)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(ridx, documents, q).select("doc_id", "score").collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (phrase, slop)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-15)
