@@ -269,20 +269,27 @@ def topk(
     mode: str = "or",
     doc_filter: Optional[DataFrame] = None,
     stats_out: Optional[dict] = None,
+    boosts: Optional[dict] = None,
 ) -> DataFrame:
     """Planned top-k: route to WAND or the exact fused plan. Both paths
     are rank-identical (asserted in tests/test_wand.py), so the planner
-    only ever changes latency, never results."""
+    only ever changes latency, never results.
+
+    boosts thread to both executions (WAND's bounds scale with the same
+    idf multiply, staying admissible). The route DECISION stays on the
+    unscaled metadata sketches — boosts shift θ but not the postings
+    volumes the cost model measures, and a mis-route only costs latency.
+    """
     path = choose_topk_path(bidx, terms, k, mode)
     if stats_out is not None:
         stats_out["path"] = path
     if path == "wand":
         return wand_topk(bidx, terms, k=k, mode=mode, doc_filter=doc_filter,
-                         stats_out=stats_out)
+                         stats_out=stats_out, boosts=boosts)
     from nexlt_spark.query.exact import score_postings
 
     scored = score_postings(
         bidx, sorted(set(terms)), mode, doc_filter,
-        per_range_limit=k if doc_filter is None else None,
+        per_range_limit=k if doc_filter is None else None, boosts=boosts,
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

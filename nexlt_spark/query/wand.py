@@ -581,6 +581,7 @@ def wand_topk(
     stats_out: Optional[dict] = None,
     rescore: str = "auto",
     skip_cache: bool = True,
+    boosts: Optional[dict] = None,
 ) -> DataFrame:
     """(doc_id, score) top-k via Block-Max WAND; ≡ exact path ranks+scores.
 
@@ -611,27 +612,29 @@ def wand_topk(
     if use_driver:
         return _wand_topk_driver(
             bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-            slice_shift, stats_out, rescore,
+            slice_shift, stats_out, rescore, boosts,
         )
     return _wand_topk_spark(
         bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-        slice_shift, stats_out, rescore,
+        slice_shift, stats_out, rescore, boosts,
     )
 
 
-def _exact_fallback(bidx, present, mode, doc_filter, k) -> DataFrame:
+def _exact_fallback(bidx, present, mode, doc_filter, k, boosts=None) -> DataFrame:
     # delegate to the exact path (which itself picks the per-range
     # fused plan on ranged stores — per_range_limit=k is safe, WAND
     # has no post-hoc row removal beyond doc_filter, handled inside)
     from nexlt_spark.query.exact import score_postings
 
-    scored = score_postings(bidx, present, mode, doc_filter, per_range_limit=k)
+    scored = score_postings(
+        bidx, present, mode, doc_filter, per_range_limit=k, boosts=boosts
+    )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
 def _wand_topk_driver(
     bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-    slice_shift, stats_out, rescore,
+    slice_shift, stats_out, rescore, boosts=None,
 ) -> DataFrame:
     """The skip-data plan: pruning decisions on driver-resident block
     metadata, Spark jobs only over key-selected blocks (module docstring,
@@ -647,6 +650,8 @@ def _wand_topk_driver(
     n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
     dfs = {t: meta[t][0] for t in present}
     idfs = {t: idf(n, dfs[t]) for t in present}
+    if boosts:
+        idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
     n_required = len(present) if mode == "and" else None
     terms_sorted = sorted(present)
 
@@ -656,7 +661,7 @@ def _wand_topk_driver(
             # certain overflow, known from cached df — zero wasted jobs
             if stats_out is not None:
                 stats_out["fallback"] = True
-            return _exact_fallback(bidx, present, mode, doc_filter, k)
+            return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
 
     sd = _skip_data(bidx, present)
     blocks_q = _query_blocks(bidx, present, idfs)
@@ -685,7 +690,7 @@ def _wand_topk_driver(
             if len(cand) > candidate_cap:
                 if stats_out is not None:
                     stats_out["fallback"] = True
-                return _exact_fallback(bidx, present, mode, doc_filter, k)
+                return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
             cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
@@ -763,7 +768,7 @@ def _wand_topk_driver(
             # before any candidate job runs (v3's 11.5 s or_head2 case).
             if stats_out is not None:
                 stats_out["fallback"] = True
-            return _exact_fallback(bidx, present, mode, doc_filter, k)
+            return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
 
         kept_keys = {t: sd[t]["first"][kept_mask[t]] for t in essential}
         if doc_filter is None and _fits(kept_keys, kept_postings):
@@ -772,7 +777,7 @@ def _wand_topk_driver(
             if cand_ids.size > candidate_cap:
                 if stats_out is not None:
                     stats_out["fallback"] = True
-                return _exact_fallback(bidx, present, mode, doc_filter, k)
+                return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
         else:
             cand_df = (
                 _decode_filtered(_select_blocks_by_keys(blocks_q, kept_keys))
@@ -785,7 +790,7 @@ def _wand_topk_driver(
             if len(cand) > candidate_cap:
                 if stats_out is not None:
                     stats_out["fallback"] = True
-                return _exact_fallback(bidx, present, mode, doc_filter, k)
+                return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
             cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
@@ -841,7 +846,7 @@ def _wand_topk_driver(
 
 def _wand_topk_spark(
     bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-    slice_shift, stats_out, rescore,
+    slice_shift, stats_out, rescore, boosts=None,
 ) -> DataFrame:
     """Legacy cluster-side pruning flow — block selection and candidate
     discovery as Spark filters/sorts. Serves queries whose terms exceed
@@ -851,6 +856,8 @@ def _wand_topk_spark(
     n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
     dfs = {t: meta[t][0] for t in present}
     idfs = {t: idf(n, dfs[t]) for t in present}
+    if boosts:
+        idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
     blocks_q = _query_blocks(bidx, present, idfs)
     n_required = len(present) if mode == "and" else None
 
@@ -865,7 +872,7 @@ def _wand_topk_spark(
         if len(cand) > candidate_cap:
             if stats_out is not None:
                 stats_out["fallback"] = True
-            return _exact_fallback(bidx, present, mode, doc_filter, k)
+            return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
         cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
@@ -947,7 +954,7 @@ def _wand_topk_spark(
     if len(cand) > candidate_cap:
         if stats_out is not None:
             stats_out["fallback"] = True
-        return _exact_fallback(bidx, present, mode, doc_filter, k)
+        return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
     cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
     if cand_ids.size == 0:
         return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
