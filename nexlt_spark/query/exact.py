@@ -261,6 +261,7 @@ def phrase_score_postings(
     phrase_tokens: List[str],
     doc_filter: Optional[DataFrame] = None,
     slop: int = 0,
+    boosts: Optional[dict] = None,
 ) -> DataFrame:
     """FUSED phrase plan: adjacency verify + BM25 scoring in ONE
     groupBy(doc_id) over the phrase terms' postings.
@@ -285,6 +286,8 @@ def phrase_score_postings(
         return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
     n, avgdl = index.stats.n_docs, index.stats.avgdl
     idfs = {t: idf(n, dfs[t]) for t in uniq}
+    if boosts:
+        idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
 
     p = index.lookup(uniq, positions=True)
     if doc_filter is not None:
@@ -401,24 +404,25 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
         q.phrase
         and getattr(index, "has_positions", False)
         and set(terms) <= set(tokenize(q.phrase, an))
-        and not eff_boosts  # fused plans compute idf internally, unscaled
     ):
         ptoks = tokenize(q.phrase, an)
         if getattr(index, "ranged", False):
             # fused per-range phrase plan: adjacency (or ordered slop
             # window) + scoring inside the range kernel (positions never
-            # leave it)
+            # leave it); boosts scale the kernel's idfs driver-side
             from nexlt_spark.query.ranged import phrase_score_ranged
 
             scored = phrase_score_ranged(
                 index, ptoks, prl if doc_filter is None else None,
-                slop=q.phrase_slop,
+                slop=q.phrase_slop, boosts=eff_boosts,
             )
             if doc_filter is not None:
                 scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         else:
             # fused one-pass phrase plan (scored terms are the phrase tokens)
-            scored = phrase_score_postings(index, ptoks, doc_filter, slop=q.phrase_slop)
+            scored = phrase_score_postings(
+                index, ptoks, doc_filter, slop=q.phrase_slop, boosts=eff_boosts
+            )
     else:
         if q.phrase:
             doc_filter = phrase_docs(

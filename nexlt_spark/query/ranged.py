@@ -309,6 +309,7 @@ def phrase_score_ranged(
     phrase_tokens: List[str],
     limit: Optional[int] = None,
     slop: int = 0,
+    boosts: Optional[dict] = None,
 ) -> DataFrame:
     """Fused phrase plan on a ranged positions-bearing store: adjacency
     (or the slop>0 ordered window — greedy searchsorted chains) AND
@@ -320,6 +321,8 @@ def phrase_score_ranged(
         return spark.createDataFrame([], SCORED_SCHEMA)
     n, avgdl = index.stats.n_docs, index.stats.avgdl
     idfs = {t: idf(n, dfs[t]) for t in uniq}
+    if boosts:
+        idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
     kernel = _phrase_kernel(phrase_tokens, uniq, idfs, avgdl, limit, slop=slop)
     blocks = _pruned_blocks(index, uniq, positions=True)
     return blocks.groupBy("rsalt").applyInPandas(kernel, SCORED_SCHEMA)

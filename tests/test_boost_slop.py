@@ -318,3 +318,35 @@ def test_boost_planned_topk(documents, oracle):
     assert [d for d, _ in got] == [d for d, _ in want], stats
     for (gd, gs), (wd, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_boosted_phrase_fused_plans(documents, oracle, pos_index):
+    # a boosted quoted phrase ("the run"^2.5) now keeps the fused
+    # one-pass plans: both the flat fused aggregation and the ranged
+    # kernel scale their idfs by the same driver-side multiply
+    from nexlt_spark.index.packed import build_blocked_direct
+
+    q = Query(phrase="the run", boosts={"the run": 2.5}, k=10)
+    want = oracle.topk(q)
+    assert want, "fixture phrase absent from corpus"
+    for idx in (pos_index, build_blocked_direct(documents, range_shift=8, positions=True).persist()):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(idx, documents, q).select("doc_id", "score").collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_boosted_sloppy_phrase(mini):
+    docs, idx, orc = mini
+    q = Query(phrase="a b", phrase_slop=2, boosts={"a": 4.0}, k=10)
+    want = orc.topk(q)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(idx, docs, q).select("doc_id", "score").collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-15)
