@@ -350,3 +350,38 @@ def test_boosted_sloppy_phrase(mini):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_random_query_rank_identity(pos_index, documents, oracle):
+    """Seeded query fuzz: random combinations of terms / mode / NOT /
+    boosts / phrase slop must stay rank- and score-identical to the
+    oracle — the cross-feature interactions no handcrafted case covers."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["the", "run", "file", "spark", "index", "join", "data",
+             "table", "error", "query", "merge", "value", "w1999", "zzz"]
+    for trial in range(12):
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        mode = rng.choice(["or", "and"])
+        boosts = None
+        if rng.random() < 0.6:
+            boosts = {rng.choice(terms): rng.choice([0.2, 2.0, 10.0])}
+        not_terms = [rng.choice(vocab)] if rng.random() < 0.3 else None
+        phrase = None
+        slop = 0
+        if rng.random() < 0.4:
+            phrase = " ".join(rng.sample(["the", "run", "file", "table"], 2))
+            slop = rng.randint(0, 3)
+            terms = []  # fused path shape: scored terms = phrase tokens
+            mode = "or"
+        q = Query(terms=terms, mode=mode, not_terms=not_terms, phrase=phrase,
+                  phrase_slop=slop, boosts=boosts, k=10)
+        want = oracle.topk(q)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(pos_index, documents, q).select("doc_id", "score").collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (trial, q)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-15), (trial, q)
