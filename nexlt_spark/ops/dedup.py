@@ -58,3 +58,89 @@ def fingerprint_duplicate_groups(docs: DataFrame, text_col: str = "text", n_toke
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
         .where(F.col("dup_count") > 1)
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (doc_id,
+    cluster_id), cluster_id = min doc_id in the component.
+
+    The step a pair-producing dedup (MinHash/SimHash/embedding buckets)
+    needs before it can act: transitive closure groups A~B, B~C into one
+    cluster so exactly one survivor is kept per group.
+
+    Algorithm: iterative min-label propagation — labels start as each
+    node's own id; every round each node takes the min label across its
+    neighborhood (one groupBy per round, labels and edges only — texts
+    never move). Rounds needed = graph diameter, which for near-dup
+    clusters is small (members of one cluster are pairwise-similar, so
+    components are dense and shallow). A corpus with adversarially long
+    similarity chains would want the O(log n)-round alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the cap + convergence check
+    here makes that failure loud, not silent.
+
+    Each round's labels are cut from lineage with an eager
+    localCheckpoint — iterative self-joins otherwise grow the LOGICAL
+    plan exponentially (persist alone does not truncate it; round ~10
+    dies in the optimizer, not in the data). On a real cluster swap in
+    reliable `checkpoint()` so a lost executor replays one round, not
+    the whole loop.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), F.col("cluster_id"))
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .head(1)
+        )
+        labels = new
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds — "
+            "pathological chain diameter; use an alternating-star CC"
+        )
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """docs minus all near-dup cluster members except each cluster's
+    min-doc_id representative — the end-to-end near-dup dedup: pair list
+    in, deduplicated corpus out. Docs in no pair pass through untouched
+    (anti-join against the loser set only; texts never shuffle)."""
+    labels = near_dup_clusters(pairs, a_col, b_col)
+    losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
