@@ -213,6 +213,14 @@ def main():
             "op_minhash_neardup": lambda: minhash.near_duplicate_pairs(
                 docs_tbl, threshold=0.9, n_hashes=16, n_bands=4
             ).collect(),
+            # pairs → connected components → one survivor per cluster:
+            # the full near-dup dedup a training pipeline actually runs
+            "op_dedup_survivors": lambda: dedup.dedup_survivors(
+                docs_tbl,
+                minhash.near_duplicate_pairs(
+                    docs_tbl, threshold=0.9, n_hashes=16, n_bands=4
+                ),
+            ).count(),
         }
     )
 
