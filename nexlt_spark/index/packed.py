@@ -623,6 +623,7 @@ def save_blocked(bidx: BlockedIndex, path: str, n_buckets: int = 32) -> None:
         .parquet(f"{path}/doc_stats")
     )
     _write_stats_table(
+        spark,
         f"{path}/stats",
         bidx.stats.n_docs,
         bidx.stats.total_tokens,
@@ -633,19 +634,41 @@ def save_blocked(bidx: BlockedIndex, path: str, n_buckets: int = 32) -> None:
 
 
 def _write_stats_table(
-    path: str, n_docs: int, total_tokens: int, n_buckets: int, analyzer: str, ranged: bool
+    spark,
+    path: str,
+    n_docs: int,
+    total_tokens: int,
+    n_buckets: int,
+    analyzer: str,
+    ranged: bool,
 ) -> None:
-    """The stats table is ONE metadata row — write it driver-side with
-    pyarrow instead of scheduling a 1-task Spark job (the Iceberg analog
-    is a manifest write, also a driver/commit-side operation). Readable
-    by spark.read.parquet exactly as before."""
+    """The stats table is ONE metadata row — on a local store, write it
+    driver-side with pyarrow instead of scheduling a 1-task Spark job
+    (the Iceberg analog is a manifest write, also a driver/commit-side
+    operation). On a URI-scheme store (hdfs://, s3a://) fall back to a
+    1-row Spark write so save_blocked works end-to-end on any Hadoop
+    filesystem. Readable by spark.read.parquet either way."""
+    from nexlt_spark.fs import local_path
+
+    lp = local_path(path)
+    if lp is None:
+        (
+            spark.createDataFrame(
+                [(n_docs, total_tokens, n_buckets, analyzer, ranged)],
+                "n_docs long, total_tokens long, n_buckets int, analyzer string, ranged boolean",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    shutil.rmtree(lp, ignore_errors=True)
+    os.makedirs(lp, exist_ok=True)
     tbl = pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),
@@ -655,5 +678,5 @@ def _write_stats_table(
             "ranged": pa.array([ranged], pa.bool_()),
         }
     )
-    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
-    open(os.path.join(path, "_SUCCESS"), "w").close()
+    pq.write_table(tbl, os.path.join(lp, "part-00000.parquet"))
+    open(os.path.join(lp, "_SUCCESS"), "w").close()

@@ -352,7 +352,8 @@ def write_ivf_store(
     (input_partitions × cells) small files.
     """
     import json
-    import os
+
+    from nexlt_spark.fs import write_bytes
 
     (
         assigned.repartition("cell")
@@ -361,16 +362,25 @@ def write_ivf_store(
         .parquet(path)
     )
     meta = {"centroids": centroids, "dim": len(centroids[0]), "n_cells": len(centroids)}
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
-        json.dump(meta, f)
+    write_bytes(
+        assigned.sparkSession,
+        f"{path.rstrip('/')}/_ivf_meta.json",
+        json.dumps(meta).encode(),
+    )
 
 
-def read_ivf_centroids(path: str) -> List[List[float]]:
+def read_ivf_centroids(path: str, spark=None) -> List[List[float]]:
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_meta.json")) as f:
-        return json.load(f)["centroids"]
+    from nexlt_spark.fs import local_path, read_bytes
+
+    if spark is None and local_path(path) is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    return json.loads(read_bytes(spark, f"{path.rstrip('/')}/_ivf_meta.json"))[
+        "centroids"
+    ]
 
 
 def ivf_store_topk(

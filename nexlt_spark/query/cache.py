@@ -141,20 +141,26 @@ def cached_fetch(
     if cache is None:
         cache = OrderedDict()
         setattr(index, _DOC_CACHE_ATTR, cache)
-    missing = [i for i in ids if i not in cache]
-    if missing:
-        from pyspark.sql import functions as F
-
-        for r in documents.where(F.col("doc_id").isin(missing)).collect():
-            d = r.asDict()
-            cache[d["doc_id"]] = d
-        while len(cache) > cache_size:
-            cache.popitem(last=False)
+    # Touch hits FIRST so this request's rows are MRU before any eviction,
+    # and build the response before evicting: a request larger than the
+    # cache (or one whose hits are LRU-oldest) must still return every
+    # fetched row — eviction bounds what the NEXT request can reuse, never
+    # what this one returns.
     out = {}
     for i in ids:
         if i in cache:
             cache.move_to_end(i)  # LRU touch
             out[i] = cache[i]
+    missing = [i for i in ids if i not in out]
+    if missing:
+        from pyspark.sql import functions as F
+
+        for r in documents.where(F.col("doc_id").isin(missing)).collect():
+            d = r.asDict()
+            out[d["doc_id"]] = d
+            cache[d["doc_id"]] = d
+        while len(cache) > cache_size:
+            cache.popitem(last=False)
     return out
 
 

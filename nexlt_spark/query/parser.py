@@ -71,7 +71,8 @@ class QueryParseError(ValueError):
 _TS_PARSE_RE = re.compile(
     r"^(?P<y>\d{4})-(?P<mo>\d{1,2})-(?P<d>\d{1,2})"
     r"(?:[ T](?P<h>\d{1,2}):(?P<mi>\d{1,2})"
-    r"(?::(?P<s>\d{1,2})(?:\.(?P<f>\d{1,6}))?)?)?Z?$"
+    r"(?::(?P<s>\d{1,2})(?:\.(?P<f>\d+))?)?)?"
+    r"(?P<tz>Z|[+-]\d{2}:?\d{2})?$"
 )
 
 
@@ -80,11 +81,16 @@ def normalize_ts(v: str) -> str:
     ``YYYY-MM-DDTHH:MM:SS.ffffff`` so lexicographic max/min ==
     chronological max/min when intersecting repeated range bounds
     (ADVICE r2: '2026-1-2' vs '2026-01-02T00:00:00' miscompared as
-    strings). Raises QueryParseError on unparseable values."""
+    strings). Timezone offsets (``+02:00``, ``-0500``, ``Z``) are
+    converted to UTC — the engine pins spark.sql.session.timeZone=UTC
+    (session.py:41), so this matches what ``to_timestamp`` would do with
+    the raw string. Fractional seconds beyond microseconds truncate, as
+    Spark's TimestampType does. Raises QueryParseError on unparseable
+    values."""
     m = _TS_PARSE_RE.match(v.strip())
     if not m:
         raise QueryParseError(f"unparseable timestamp {v!r}")
-    from datetime import datetime
+    from datetime import datetime, timedelta
 
     try:
         dt = datetime(
@@ -94,10 +100,15 @@ def normalize_ts(v: str) -> str:
             int(m["h"] or 0),
             int(m["mi"] or 0),
             int(m["s"] or 0),
-            int((m["f"] or "").ljust(6, "0") or 0),
+            int((m["f"] or "")[:6].ljust(6, "0") or 0),
         )
     except ValueError as e:
         raise QueryParseError(f"invalid timestamp {v!r}: {e}") from e
+    tz = m["tz"]
+    if tz and tz != "Z":
+        sign = 1 if tz[0] == "+" else -1
+        hh, mm = int(tz[1:3]), int(tz.replace(":", "")[3:5])
+        dt -= sign * timedelta(hours=hh, minutes=mm)  # to UTC
     return dt.isoformat(sep="T", timespec="microseconds")
 
 

@@ -66,12 +66,13 @@ from nexlt_spark.index.blocks import BLOCK_SIZE, BlockedIndex
 from nexlt_spark.query.wand import (
     DEFAULT_CANDIDATE_CAP,
     META_QUANTS,
-    PROBE_BLOCKS_PER_TERM,
     SKIP_CACHE_MAX_BLOCKS,
-    _collect_decode,
+    _driver_theta_probe,
     _pa_ds,
     _skip_data,
     _term_meta,
+    kept_block_masks,
+    maxscore_split,
     wand_topk,
 )
 from nexlt_spark.scoring import idf
@@ -188,46 +189,19 @@ def _choose_driver_plan(
         )
         return "wand" if wand_cost < exact_cost else "exact"
 
-    from nexlt_spark.query.ranged import _fold_scores_np
-
     sd = _skip_data(bidx, present)
-    probe_keys = {}
-    probe_postings = 0
-    for t in present:
-        ubs = idfs[t] * sd[t]["mtf"]
-        if ubs.size > PROBE_BLOCKS_PER_TERM:
-            top = np.argpartition(ubs, -PROBE_BLOCKS_PER_TERM)[-PROBE_BLOCKS_PER_TERM:]
-        else:
-            top = np.arange(ubs.size)
-        probe_keys[t] = sd[t]["first"][top]
-        probe_postings += int(sd[t]["n"][top].sum())
-    term_of, ids, tfs, dls = _collect_decode(bidx, None, probe_keys)
-    if ids.size:
-        _, psc, _ = _fold_scores_np(
-            term_of, ids, tfs, dls, sorted(present), idfs, avgdl
-        )
-        theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
-    else:
-        theta = 0.0
+    # The probe is the execution's own θ probe — _driver_theta_probe is
+    # memoized on the index, so when the query routes "wand" the
+    # execution reuses this exact decode instead of redoing it (review
+    # r3: the rehearsal previously doubled the probe read+decode+fold).
+    theta, probe_postings = _driver_theta_probe(bidx, sd, present, idfs, avgdl, k)
 
-    # identical split + kept-mask to _wand_topk_driver
+    # identical split + kept-mask to _wand_topk_driver (shared helpers)
     gm = {t: idfs[t] * meta[t][1] for t in present}
     sum_gm = sum(gm.values())
-    by_gm = sorted(present, key=lambda t: gm[t])
-    non_essential: set = set()
-    prefix = 0.0
-    for t in by_gm[:-1]:
-        if prefix + gm[t] < theta:
-            prefix += gm[t]
-            non_essential.add(t)
-        else:
-            break
-    kept_postings = 0
-    for t in present:
-        if t in non_essential:
-            continue
-        cut = theta - (sum_gm - gm[t])
-        kept_postings += int(sd[t]["n"][(idfs[t] * sd[t]["mtf"]) >= cut].sum())
+    non_essential = maxscore_split(present, gm, theta)
+    masks = kept_block_masks(present, sd, idfs, gm, sum_gm, theta, non_essential)
+    kept_postings = int(sum(sd[t]["n"][masks[t]].sum() for t in present))
     if kept_postings > DEFAULT_CANDIDATE_CAP * nterms:
         return "exact"  # the execution's own certain-overflow pre-check
     rescore_est = min(total, kept_postings * nterms * BLOCK_SIZE)

@@ -55,7 +55,7 @@ pruning runs as cluster-side filters instead.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -239,18 +239,21 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
             bidx._skip_cache = skip_cache
         spark_side = []
         for t in missing:
-            flt = _pa_term_filter(bidx, t)
-            nb = dset.count_rows(filter=flt)
+            # ONE bounded scan per term: head(cap+1) stops reading once
+            # the cap is exceeded, so an over-cap head term costs cap+1
+            # skinny rows, not a full count_rows pass plus a re-read
+            # (review r3: the old count_rows pre-check doubled cold I/O).
+            tbl = dset.scanner(
+                columns=["first_doc_id", "last_doc_id", "n", "max_tfnorm"],
+                filter=_pa_term_filter(bidx, t),
+            ).head(SKIP_CACHE_MAX_BLOCKS + 1)
+            nb = tbl.num_rows
             if nb == 0:
                 cache[t] = None
                 continue
             if nb > SKIP_CACHE_MAX_BLOCKS:
                 spark_side.append(t)
                 continue
-            tbl = dset.to_table(
-                columns=["first_doc_id", "last_doc_id", "n", "max_tfnorm"],
-                filter=flt,
-            )
             first = tbl.column("first_doc_id").to_numpy().astype(np.int64)
             order = np.argsort(first, kind="stable")
             sdt = {
@@ -334,6 +337,122 @@ def _skip_data(bidx: BlockedIndex, terms: List[str]) -> Dict[str, dict]:
                 "mtf": g["max_tfnorm"].to_numpy(np.float64)[order],
             }
     return {t: cache[t] for t in terms}
+
+
+def maxscore_split(present: List[str], gm: Dict[str, float], theta: float) -> set:
+    """MaxScore essential-list split (Turtle & Flood 1995; Lucene's
+    MaxScoreBulkScorer does the same partition): order terms by ascending
+    global-max contribution gm and mark the maximal prefix whose gm
+    prefix-sum stays BELOW θ as non-essential — a doc containing only
+    non-essential terms scores < θ and cannot enter the top-k, so
+    candidate discovery needs only the essential terms' kept blocks; the
+    rescore still folds non-essential contributions exactly. The
+    largest-gm term is always essential. ONE definition shared by the
+    driver flow, the cluster flow, and the planner's rehearsal — the
+    planner's 'rehearses the execution exactly' claim and the split's
+    rank-safety both require the three callers to agree."""
+    by_gm = sorted(present, key=lambda t: gm[t])
+    non_essential: set = set()
+    prefix = 0.0
+    for t in by_gm[:-1]:
+        if prefix + gm[t] < theta:
+            prefix += gm[t]
+            non_essential.add(t)
+        else:
+            break
+    return non_essential
+
+
+def kept_block_masks(
+    present: List[str],
+    sd: Dict[str, dict],
+    idfs: Dict[str, float],
+    gm: Dict[str, float],
+    sum_gm: float,
+    theta: float,
+    non_essential: set,
+) -> Dict[str, np.ndarray]:
+    """Per-term boolean mask over the skip arrays: keep block b(t) iff
+    ub_b + Σ_{t'≠t} gm_{t'} ≥ θ ⇔ ub_b ≥ θ-(sum_gm-gm_t) (valid for
+    candidate discovery restricted to essential terms: a doc scoring ≥ θ
+    has its argmax-essential-term block kept — its other terms'
+    contributions are dominated by their gms). Non-essential terms keep
+    nothing."""
+    kept: Dict[str, np.ndarray] = {}
+    for t in present:
+        if t in non_essential:
+            kept[t] = np.zeros(sd[t]["first"].size, dtype=bool)
+        else:
+            kept[t] = (idfs[t] * sd[t]["mtf"]) >= (theta - (sum_gm - gm[t]))
+    return kept
+
+
+def _probe_block_keys(
+    sd: Dict[str, dict], idfs: Dict[str, float], present: List[str]
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """θ-probe block choice: the ≤PROBE_BLOCKS_PER_TERM highest-ub blocks
+    per term, picked by a driver-side argpartition over each term's
+    block-ub array — no metadata sort job, no key collect. Returns the
+    key dict and the total postings those blocks hold."""
+    probe_keys: Dict[str, np.ndarray] = {}
+    probe_postings = 0
+    for t in present:
+        ubs = idfs[t] * sd[t]["mtf"]
+        if ubs.size > PROBE_BLOCKS_PER_TERM:
+            top = np.argpartition(ubs, -PROBE_BLOCKS_PER_TERM)[-PROBE_BLOCKS_PER_TERM:]
+        else:
+            top = np.arange(ubs.size)
+        probe_keys[t] = sd[t]["first"][top]
+        probe_postings += int(sd[t]["n"][top].sum())
+    return probe_keys, probe_postings
+
+
+_THETA_CACHE_MAX = 1024
+
+
+def _driver_theta_probe(
+    bidx,
+    sd,
+    present: List[str],
+    idfs: Dict[str, float],
+    avgdl: float,
+    k: int,
+    blocks_q: Optional[DataFrame] = None,
+) -> Tuple[float, int]:
+    """θ lower bound for the unfiltered driver OR flow: decode the probe
+    blocks and take the k-th partial score. Memoized on the index object
+    keyed by (terms, idfs, k) — the planner's rehearsal and the execution
+    read the SAME probe blocks, so plan-then-execute pays for one probe
+    decode, not two (review r3: the rehearsal redid the identical
+    read+decode+fold). idf values are part of the key because query-time
+    boosts scale them. Returns (theta, probe_postings)."""
+    cache = getattr(bidx, "_theta_probe_cache", None)
+    if cache is None:
+        from collections import OrderedDict
+
+        cache = OrderedDict()
+        bidx._theta_probe_cache = cache
+    key = (tuple(present), tuple(idfs[t] for t in present), k)
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+        return hit
+
+    from nexlt_spark.query.ranged import _fold_scores_np
+
+    probe_keys, probe_postings = _probe_block_keys(sd, idfs, present)
+    term_of, ids, tfs, dls = _collect_decode(bidx, blocks_q, probe_keys)
+    if ids.size:
+        _, psc, _ = _fold_scores_np(
+            term_of, ids, tfs, dls, sorted(present), idfs, avgdl
+        )
+        theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
+    else:
+        theta = 0.0
+    cache[key] = (theta, probe_postings)
+    while len(cache) > _THETA_CACHE_MAX:
+        cache.popitem(last=False)
+    return theta, probe_postings
 
 
 def _select_blocks_by_keys(
@@ -701,25 +820,16 @@ def _wand_topk_driver(
         gm = {t: idfs[t] * meta[t][1] for t in present}
         sum_gm = sum(gm.values())
 
-        # θ-probe block choice is a driver-side argpartition over each
-        # term's block-ub array — no metadata sort job, no key collect.
-        probe_keys = {}
-        for t in present:
-            ubs = idfs[t] * sd[t]["mtf"]
-            if ubs.size > PROBE_BLOCKS_PER_TERM:
-                top = np.argpartition(ubs, -PROBE_BLOCKS_PER_TERM)[-PROBE_BLOCKS_PER_TERM:]
-            else:
-                top = np.arange(ubs.size)
-            probe_keys[t] = sd[t]["first"][top]
         if doc_filter is None:
             # probe payloads are ≤ 16·|T| blocks by construction — always
-            # a driver decode; partial fold in numpy (≡ fold_scores bits)
-            term_of, ids, tfs, dls = _collect_decode(bidx, blocks_q, probe_keys)
-            _, psc, _ = _fold_scores_np(
-                term_of, ids, tfs, dls, terms_sorted, idfs, avgdl
+            # a driver decode; partial fold in numpy (≡ fold_scores bits).
+            # Memoized: when the planner already rehearsed this query,
+            # the θ it computed is reused here (one probe, not two).
+            theta, _ = _driver_theta_probe(
+                bidx, sd, present, idfs, avgdl, k, blocks_q
             )
-            theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
         else:
+            probe_keys, _ = _probe_block_keys(sd, idfs, present)
             # θ must reflect the filter (an unfiltered θ could exceed the
             # filtered k-th score and over-prune) — filter lives in a
             # DataFrame, so the probe fold runs cluster-side
@@ -729,39 +839,15 @@ def _wand_topk_driver(
             topk_partial = partial.orderBy(F.col("score").desc()).limit(k).collect()
             theta = topk_partial[-1]["score"] if len(topk_partial) >= k else 0.0
 
-        # MaxScore essential-list split (Turtle & Flood 1995; Lucene's
-        # MaxScoreBulkScorer does the same partition): order terms by
-        # ascending gm and mark the maximal prefix whose gm prefix-sum
-        # stays BELOW θ as non-essential — a doc containing only
-        # non-essential terms scores < θ and cannot enter the top-k, so
-        # candidate discovery needs only the essential terms' kept
-        # blocks; the rescore still folds non-essential contributions
-        # exactly. Without this split, a rare high-idf term ORed with a
-        # hot term keeps EVERY hot block (θ ≤ gm_rare makes the
-        # per-block cut vacuous for the hot term) and the candidate
-        # collect blows the cap.
-        by_gm = sorted(present, key=lambda t: gm[t])
-        non_essential: set = set()
-        prefix = 0.0
-        for t in by_gm[:-1]:  # the largest-gm term is always essential
-            if prefix + gm[t] < theta:
-                prefix += gm[t]
-                non_essential.add(t)
-            else:
-                break
+        # Without the MaxScore split (maxscore_split), a rare high-idf
+        # term ORed with a hot term keeps EVERY hot block (θ ≤ gm_rare
+        # makes the per-block cut vacuous for the hot term) and the
+        # candidate collect blows the cap.
+        non_essential = maxscore_split(present, gm, theta)
         essential = [t for t in present if t not in non_essential]
-
-        # keep b(t) iff ub_b + Σ_{t'≠t} gm_{t'} ≥ θ ⇔ ub_b ≥ θ-(sum_gm-gm_t)
-        # (valid for candidate discovery restricted to essential terms: a
-        # doc scoring ≥ θ has its argmax-essential-term block kept — its
-        # other terms' contributions are dominated by their gms)
-        kept_mask = {}
-        for t in present:
-            if t in non_essential:
-                kept_mask[t] = np.zeros(sd[t]["first"].size, dtype=bool)
-                continue
-            cut = theta - (sum_gm - gm[t])
-            kept_mask[t] = (idfs[t] * sd[t]["mtf"]) >= cut
+        kept_mask = kept_block_masks(
+            present, sd, idfs, gm, sum_gm, theta, non_essential
+        )
         kept_postings = int(sum(sd[t]["n"][kept_mask[t]].sum() for t in present))
         if doc_filter is None and kept_postings > candidate_cap * len(present):
             # distinct candidates ≥ Σn/|terms| > cap — overflow is certain
@@ -925,17 +1011,9 @@ def _wand_topk_spark(
     topk_partial = partial.orderBy(F.col("score").desc()).limit(k).collect()
     theta = topk_partial[-1]["score"] if len(topk_partial) >= k else 0.0
 
-    # MaxScore essential-list split — see _wand_topk_driver for the
-    # correctness argument; here the split feeds a cluster-side filter.
-    by_gm = sorted(present, key=lambda t: gm[t])
-    non_essential: set = set()
-    prefix = 0.0
-    for t in by_gm[:-1]:  # the largest-gm term is always essential
-        if prefix + gm[t] < theta:
-            prefix += gm[t]
-            non_essential.add(t)
-        else:
-            break
+    # MaxScore essential-list split — same shared helper as the driver
+    # flow and the planner; here the split feeds a cluster-side filter.
+    non_essential = maxscore_split(present, gm, theta)
     essential = [t for t in present if t not in non_essential]
 
     # keep b(t) iff ub_b + Σ_{t'≠t} gm_{t'} ≥ θ  ⇔  ub_b ≥ θ - (sum_gm - gm_t)

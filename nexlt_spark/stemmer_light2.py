@@ -375,8 +375,6 @@ def persian_normalize(w: str) -> str:
 # ---------------------------------------------------------------------------
 
 # Nukta forms appear both precomposed (U+0958-095F) and decomposed
-# (base + combining U+093C); fold the former, delete the latter.
-# Nukta forms appear both precomposed (U+0958-095F) and decomposed
 # (base letter + combining nukta U+093C); fold the former to the base
 # letter, delete the latter.
 _HI_NUKTA = str.maketrans(

@@ -71,6 +71,23 @@ def test_rejects_unrankable_shapes(index, documents):
         cached_topk(index, documents, Query())
 
 
+def test_fetch_returns_all_rows_even_past_cache_capacity(index, documents):
+    """A request larger than the documentCache must still return every
+    requested row — eviction bounds reuse, not the current response
+    (regression: rows fetched this request were evicted before the
+    response was built, silently dropping ranked docs from the page)."""
+    from nexlt_spark.query.cache import cached_fetch
+
+    ids = [r["doc_id"] for r in documents.select("doc_id").limit(12).collect()]
+    got = cached_fetch(index, documents, ids, cache_size=8)
+    assert sorted(got.keys()) == sorted(ids)  # nothing dropped
+    # hits must be MRU-touched before misses insert: re-request a mix of
+    # the 8 surviving rows + new ids under the same tiny capacity
+    more = [r["doc_id"] for r in documents.select("doc_id").limit(20).collect()]
+    got2 = cached_fetch(index, documents, more, cache_size=8)
+    assert sorted(got2.keys()) == sorted(more)
+
+
 def test_filtered_query_cached_correctly(index, documents):
     q = Query(terms=["run"], filters=QueryFilters(roles=["user"]), k=10)
     got = cached_topk(index, documents, q)

@@ -73,6 +73,19 @@ def test_repeated_ts_ranges_intersect():
     assert q2.filters.ts_to == "2026-02-01T00:00:00.000000"
 
 
+def test_ts_offsets_and_long_fractions_normalize_to_utc():
+    """Offset forms Spark's to_timestamp accepts must parse (regression:
+    normalize_ts rejected them), converted to UTC per the pinned
+    spark.sql.session.timeZone=UTC; 7+ fractional digits truncate to
+    microseconds like TimestampType does."""
+    q = parse_query("table ts:[2024-01-01T00:00:00+02:00 TO *]")
+    assert q.filters.ts_from == "2023-12-31T22:00:00.000000"
+    q2 = parse_query("table ts:[* TO 2024-01-01T00:00:00-05:00]")
+    assert q2.filters.ts_to == "2024-01-01T05:00:00.000000"
+    q3 = parse_query("table ts:[2024-01-01T12:30:45.1234567890Z TO *]")
+    assert q3.filters.ts_from == "2024-01-01T12:30:45.123456"
+
+
 def test_bad_timestamp_raises():
     import pytest
 

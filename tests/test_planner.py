@@ -153,3 +153,30 @@ def test_planner_runs_no_job_when_cached(ranged, spark):
     choose_topk_path(ranged, ["run", "file"], 10, "or")
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+
+def test_rehearsed_probe_shared_with_execution(spark, index, tmp_path_factory, monkeypatch):
+    """The planner's OR rehearsal and the wand execution must share ONE
+    θ-probe decode via the memoized _driver_theta_probe (regression: the
+    rehearsal redid the identical probe read+decode+fold, doubling the
+    hot serving path's latency)."""
+    from nexlt_spark.index.blocks import load_blocked_index, save_blocked_index
+    from nexlt_spark.query import wand
+    from nexlt_spark.query.wand import wand_topk
+
+    path = str(tmp_path_factory.mktemp("probe_shared") / "idx")
+    save_blocked_index(index, path, n_buckets=8, salt_threshold=5, range_shift=6)
+    bidx = load_blocked_index(spark, path)
+
+    calls = {"n": 0}
+    real = wand._probe_block_keys
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(wand, "_probe_block_keys", counting)
+    terms = ["the", "error"]
+    choose_topk_path(bidx, terms, 10, "or")  # rehearses: one probe
+    wand_topk(bidx, terms, k=10, mode="or").collect()  # reuses it
+    assert calls["n"] == 1
