@@ -330,3 +330,139 @@ def select(
             for col, (lo, hi, gap) in facet_range.items():
                 resp.facet_ranges[col] = facet_range_counts(matches, col, lo, hi, gap)
     return resp
+
+
+# Solr /select params this facade understands; response-encoding params
+# Solr would consume before query execution are accepted and ignored.
+_URL_IGNORED = {"wt", "indent", "version", "echoParams", "omitHeader", "debugQuery"}
+# components the reference never enables (VERDICT r2: Q10 n/a) — honest
+# refusal beats Solr's silent ignore for params that WOULD change results
+_URL_UNSUPPORTED_PREFIXES = (
+    "group", "mlt", "spellcheck", "stats", "spatial", "terms", "expand",
+)
+
+
+def _fq_condition(qp: Query) -> Column:
+    """A parsed filter-shaped query → one boolean Column (for facet.query
+    predicates, which Solr evaluates per-doc over the q∧fq match set).
+    Mirrors filter_documents clause-for-clause."""
+    f = qp.filters
+    conds: List[Column] = []
+    if f.roles:
+        conds.append(F.col("role").isin(list(f.roles)))
+    if f.tools:
+        conds.append(F.col("tool").isin(list(f.tools)))
+    if f.conv_ids:
+        conds.append(F.col("conv_id").isin(list(f.conv_ids)))
+    if f.ts_from:
+        conds.append(F.col("ts") >= F.to_timestamp(F.lit(f.ts_from)))
+    if f.ts_to:
+        conds.append(F.col("ts") < F.to_timestamp(F.lit(f.ts_to)))
+    if f.fields:
+        for col, vals in sorted(f.fields.items()):
+            conds.append(F.col(col).isin(list(vals)))
+    if qp.exists:
+        conds.append(F.col("text").isNotNull() & (F.length("text") > 0))
+    if not conds or qp.terms or qp.phrase:
+        raise QueryParseError(
+            "facet.query must be filter-shaped (field:value, range, existence)"
+        )
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def select_url(
+    index,
+    documents: DataFrame,
+    request: str,
+    synonyms: Optional[Dict[str, List[str]]] = None,
+    compute_num_found: bool = False,
+) -> SelectResponse:
+    """``/select`` over the raw URL query string, exactly the shape the
+    reference's clients emit — WebService::Solr in the CGIs
+    (CGI/parallel.cgi:34,157), string-assembled URLs in corpus.cgi, and
+    the ajax-solr widget composition (solrTestLib_v2.js:38-102)::
+
+        select_url(idx, docs,
+            "q=error data&fq=role:user&rows=20&sort=ts desc"
+            "&facet=true&facet.field=lang&hl=true&hl.fragsize=80")
+
+    Percent-escapes and ``+``-as-space decode per URL rules; a full URL
+    or a leading ``?`` is accepted and stripped. Faceting params require
+    ``facet=true``, as in Solr. ``facet.range`` uses the global
+    ``facet.range.start/end/gap`` with per-field
+    ``f.<col>.facet.range.*`` overrides. ``facet.query`` values are
+    filter-shaped query strings. Components the reference never enables
+    (group/mlt/spellcheck/stats/terms) raise instead of silently
+    returning un-grouped/un-checked results."""
+    from urllib.parse import parse_qs
+
+    if "?" in request:
+        request = request.split("?", 1)[1]
+    params = parse_qs(request, keep_blank_values=True)
+
+    for name in params:
+        base = name.split(".", 1)[0]
+        if base in _URL_UNSUPPORTED_PREFIXES or (
+            name.startswith("f.") and ".facet." not in name
+        ):
+            raise QueryParseError(f"unsupported /select param {name!r}")
+
+    def one(name: str, default: Optional[str] = None) -> Optional[str]:
+        v = params.get(name)
+        return v[-1] if v else default  # Solr takes the last occurrence
+
+    if one("q.op", "OR").upper() == "AND":
+        raise QueryParseError("q.op=AND is not supported; use explicit AND")
+
+    sort = None
+    if one("sort"):
+        sort = []
+        for part in one("sort").split(","):
+            bits = part.strip().split()
+            if len(bits) != 2 or bits[1].lower() not in ("asc", "desc"):
+                raise QueryParseError(f"bad sort clause {part.strip()!r}")
+            sort.append((bits[0], bits[1].lower()))
+    fl = None
+    if one("fl"):
+        fl = [c.strip() for v in params["fl"] for c in v.split(",") if c.strip()]
+
+    faceting = one("facet", "false").lower() == "true"
+    facet_field = params.get("facet.field", []) if faceting else []
+    facet_query = None
+    if faceting and params.get("facet.query"):
+        facet_query = {
+            s: _fq_condition(parse_query(s, default_field=one("df", "text")))
+            for s in params["facet.query"]
+        }
+    facet_range = None
+    if faceting and params.get("facet.range"):
+        facet_range = {}
+        for col in params["facet.range"]:
+            def rng(part: str) -> str:
+                v = one(f"f.{col}.facet.range.{part}") or one(f"facet.range.{part}")
+                if v is None:
+                    raise QueryParseError(f"facet.range={col} needs facet.range.{part}")
+                return v
+            facet_range[col] = (float(rng("start")), float(rng("end")), float(rng("gap")))
+
+    return select(
+        index,
+        documents,
+        q=one("q", "*:*"),
+        fq=params.get("fq", []),
+        start=int(one("start", "0")),
+        rows=int(one("rows", "10")),
+        sort=sort,
+        fl=fl,
+        default_field=one("df", "text"),
+        synonyms=synonyms,
+        facet_field=facet_field,
+        facet_query=facet_query,
+        facet_range=facet_range,
+        hl=one("hl", "false").lower() == "true",
+        hl_fragsize=int(one("hl.fragsize", "100")),
+        compute_num_found=compute_num_found,
+    )

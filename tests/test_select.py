@@ -106,7 +106,7 @@ def test_highlight_on_page_only(index, documents):
 def test_sort_path(index, documents):
     got = select(index, documents, q="table", sort=[("text_lc", "asc")], rows=20).docs
     want = run_query(index, documents, Query(terms=["table"], sort=[("text_lc", "asc")], k=20))
-    assert rows(got, "doc_id") == rows(want, "doc_id")
+    assert rows(got, "conv_id", "ts") == rows(want, "conv_id", "ts")
 
 
 def test_synonyms_expand_under_or(index, documents):
@@ -241,3 +241,101 @@ def test_select_accepts_sharded_index(documents, tmp_path):
         sc.setJobGroup("", "")
     assert again == got
     assert list(job_ids) == []
+
+
+# ---- select_url: the raw URL-query-string form the reference's clients emit ----
+
+
+def test_url_page_matches_structured_select(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    got = select_url(index, documents, "q=error&fq=role:user&rows=10").docs
+    want = select(index, documents, q="error", fq=["role:user"], rows=10).docs
+    assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
+
+
+def test_url_decoding_and_full_url_accepted(index, documents):
+    """+ is space, %XX decodes, and a full handler URL is stripped to its
+    query string — the CGI clients send exactly these shapes."""
+    from nexlt_spark.query.select import select_url
+
+    got = select_url(
+        index, documents,
+        "http://host:8983/solr/select?q=error+data&fq=role%3Auser&rows=5",
+    ).docs
+    want = select(index, documents, q="error data", fq=["role:user"], rows=5).docs
+    assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
+
+
+def test_url_facets_require_facet_true(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    off = select_url(index, documents, "q=error&facet.field=role")
+    assert off.facet_fields == {}
+    on = select_url(index, documents, "q=error&facet=true&facet.field=role")
+    assert "role" in on.facet_fields
+    want = select(index, documents, q="error", facet_field=["role"]).facet_fields["role"]
+    assert sorted(rows(on.facet_fields["role"], "role", "n")) == sorted(rows(want, "role", "n"))
+
+
+def test_url_facet_range_and_query(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    r = select_url(
+        index, documents,
+        "q=*:*&facet=true&facet.range=turn_idx"
+        "&facet.range.start=0&facet.range.end=40&facet.range.gap=10"
+        "&facet.query=role:user&facet.query=role:assistant",
+    )
+    want = select(
+        index, documents, q="*:*",
+        facet_range={"turn_idx": (0.0, 40.0, 10.0)},
+        facet_query={
+            "role:user": F.col("role").isin(["user"]),
+            "role:assistant": F.col("role").isin(["assistant"]),
+        },
+    )
+    assert rows(r.facet_ranges["turn_idx"], "bucket_start", "n") == rows(
+        want.facet_ranges["turn_idx"], "bucket_start", "n"
+    )
+    assert sorted(rows(r.facet_queries, "facet", "n")) == sorted(
+        rows(want.facet_queries, "facet", "n")
+    )
+
+
+def test_url_sort_fl_and_paging(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    got = select_url(
+        index, documents, "q=error&sort=ts desc,doc_id asc&start=5&rows=5&fl=conv_id,ts"
+    ).docs
+    want = select(
+        index, documents, q="error", sort=[("ts", "desc"), ("doc_id", "asc")],
+        start=5, rows=5, fl=["conv_id", "ts"],
+    ).docs
+    assert got.columns == want.columns
+    assert rows(got, "conv_id", "ts") == rows(want, "conv_id", "ts")
+
+
+def test_url_unsupported_components_raise(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    for bad in (
+        "q=error&group=true&group.field=lang",
+        "q=error&mlt=true",
+        "q=error&spellcheck=true",
+        "q=error&q.op=AND",
+        "q=error&sort=ts sideways",
+        "q=error&facet=true&facet.query=bareterm",
+        "q=error&facet=true&facet.range=turn_idx",  # missing start/end/gap
+    ):
+        with pytest.raises(QueryParseError):
+            select_url(index, documents, bad)
+
+
+def test_url_response_encoding_params_ignored(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    got = select_url(index, documents, "q=error&wt=json&indent=true&rows=3").docs
+    want = select(index, documents, q="error", rows=3).docs
+    assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
