@@ -217,10 +217,35 @@ def _tombstones(spark: SparkSession, path: str, up_to_batch: Optional[int] = Non
     return spark.read.parquet(*dirs).select("doc_id")
 
 
+def _as_of_to_up_to(
+    path: str, as_of_batch: Optional[int], up_to_batch: Optional[int]
+) -> Optional[int]:
+    """Translate the public inclusive snapshot id (Iceberg
+    'read as of snapshot N') to the internal exclusive bound; validates
+    the snapshot exists."""
+    if as_of_batch is None:
+        return up_to_batch
+    if up_to_batch is not None:
+        raise ValueError("pass as_of_batch or up_to_batch, not both")
+    if not any(m["batch"] == as_of_batch for m in batches_done(path)):
+        raise ValueError(f"no committed batch {as_of_batch} under {path}")
+    return as_of_batch + 1
+
+
 def live_documents(
-    spark: SparkSession, path: str, up_to_batch: Optional[int] = None
+    spark: SparkSession,
+    path: str,
+    up_to_batch: Optional[int] = None,
+    as_of_batch: Optional[int] = None,
 ) -> DataFrame:
-    """All committed doc rows minus tombstoned docIDs (liveDocs mask)."""
+    """All committed doc rows minus tombstoned docIDs (liveDocs mask).
+
+    ``as_of_batch=N`` is Iceberg time travel over the manifest list
+    (snapshots = commits, SURVEY §1.7): read the store exactly as it was
+    after batch N committed — later batches' docs are absent and docs
+    they tombstoned are live again. Purely a driver-side manifest filter;
+    the scan reads only the snapshot's batch directories."""
+    up_to_batch = _as_of_to_up_to(path, as_of_batch, up_to_batch)
     done = batches_done(path)
     if up_to_batch is not None:
         done = [m for m in done if m["batch"] < up_to_batch]
@@ -234,15 +259,23 @@ def live_documents(
     return docs.join(tombs, "doc_id", "left_anti")
 
 
-def live_index(spark: SparkSession, path: str) -> InvertedIndex:
+def live_index(
+    spark: SparkSession, path: str, as_of_batch: Optional[int] = None
+) -> InvertedIndex:
     """InvertedIndex over all committed runs, tombstones masked, global
-    stats (N, avgdl, df) recomputed over live docs only."""
+    stats (N, avgdl, df) recomputed over live docs only. ``as_of_batch``
+    time-travels to that snapshot (see live_documents) — stats are
+    recomputed over the SNAPSHOT's live docs, so a time-traveled query
+    scores exactly as it would have then."""
+    up_to = _as_of_to_up_to(path, as_of_batch, None)
     done = batches_done(path)
+    if up_to is not None:
+        done = [m for m in done if m["batch"] < up_to]
     if not done:
         raise RuntimeError(f"no committed batches under {path}")
     dirs = [os.path.join(path, "runs", f"batch={m['batch']}") for m in done]
     raw = spark.read.parquet(*dirs)
-    tombs = _tombstones(spark, path)
+    tombs = _tombstones(spark, path, up_to)
     raw = raw.join(tombs, "doc_id", "left_anti")
     postings = raw.where(F.col("term") != _SENTINEL)
     doc_stats = raw.where(F.col("term") == _SENTINEL).select("doc_id", "dl")
@@ -265,6 +298,7 @@ def live_blocked_index(
     path: str,
     range_shift: Optional[int] = None,
     block_size: Optional[int] = None,
+    as_of_batch: Optional[int] = None,
 ) -> "BlockedIndex":
     """Ranged BlockedIndex over the live (tombstone-masked) incremental
     store — the 'reopen the searcher over merged segments' step: every
@@ -282,7 +316,7 @@ def live_blocked_index(
         build_blocks,
     )
 
-    idx = live_index(spark, path)
+    idx = live_index(spark, path, as_of_batch=as_of_batch)
     blocks = build_blocks(
         idx,
         range_shift=DEFAULT_RANGE_SHIFT if range_shift is None else range_shift,
@@ -297,6 +331,31 @@ def live_blocked_index(
         analyzer=idx.analyzer,
         ranged=True,
     )
+
+
+def rollback(path: str, to_batch: int) -> List[int]:
+    """Roll the store back to snapshot ``to_batch`` — the Iceberg
+    ``rollback_to_snapshot`` + ``expire_snapshots`` pair: manifests after
+    ``to_batch`` are deleted FIRST (the commit inverse — readers see the
+    old snapshot as soon as the manifest is gone, exactly how
+    ingest_batch's manifest-last rename makes commits atomic), then the
+    orphaned batch directories are removed. The next ingest_batch
+    continues from ``to_batch + 1`` with doc_ids re-issued past the
+    surviving max — rolled-back ids may be reused, which is safe because
+    nothing references them once their batch dirs are gone. Returns the
+    batch numbers removed."""
+    import shutil
+
+    done = batches_done(path)
+    if not any(m["batch"] == to_batch for m in done):
+        raise ValueError(f"no committed batch {to_batch} under {path}")
+    victims = [m["batch"] for m in done if m["batch"] > to_batch]
+    for b in victims:
+        os.remove(_manifest_path(path, b))
+    for b in victims:
+        for sub in ("documents", "tombstones", "runs"):
+            shutil.rmtree(os.path.join(path, sub, f"batch={b}"), ignore_errors=True)
+    return victims
 
 
 def compact(spark: SparkSession, path: str, out_path: str, build_id: str = "compact-0") -> None:

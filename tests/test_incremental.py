@@ -188,3 +188,64 @@ def test_empty_batch_is_noop(spark, inc_path):
     empty = synth_transcripts(spark, n_convs=10, seed=7).where(F.lit(False))
     assert ingest_batch(empty, inc_path) is None
     assert len(batches_done(inc_path)) == n_before
+
+
+# ---- Iceberg time travel over the manifest list: snapshots = commits ----
+
+
+def test_as_of_batch_reads_the_old_snapshot(spark, batches, tmp_path_factory):
+    """as_of_batch=0 must read the store exactly as it was after batch 0
+    committed: batch-1 docs absent, batch-1's tombstoned docs live again,
+    stats and BM25 scores recomputed over that snapshot — byte-equal to a
+    store that never saw batch 1."""
+    path = str(tmp_path_factory.mktemp("tt"))
+    b1, b2 = batches
+    ingest_batch(b1, path, build_id="b1")
+    snap0_docs = {
+        (r["doc_key"], r["text"]) for r in live_documents(spark, path).collect()
+    }
+    snap0_rank = _by_key(live_index(spark, path), live_documents(spark, path))
+    ingest_batch(b2, path, build_id="b2")
+
+    # current state differs (upserts landed) …
+    now_docs = {(r["doc_key"], r["text"]) for r in live_documents(spark, path).collect()}
+    assert now_docs != snap0_docs
+    # … but the time-traveled read reproduces snapshot 0 exactly
+    tt_docs = {
+        (r["doc_key"], r["text"])
+        for r in live_documents(spark, path, as_of_batch=0).collect()
+    }
+    assert tt_docs == snap0_docs
+    tt_rank = _by_key(
+        live_index(spark, path, as_of_batch=0),
+        live_documents(spark, path, as_of_batch=0),
+    )
+    assert tt_rank == snap0_rank
+    # as-of-latest == the plain live read
+    latest = {(r["doc_key"], r["text"]) for r in live_documents(spark, path, as_of_batch=1).collect()}
+    assert latest == now_docs
+    with pytest.raises(ValueError):
+        live_documents(spark, path, as_of_batch=7)
+
+
+def test_rollback_restores_snapshot_and_reissues_batches(spark, batches, tmp_path_factory):
+    """rollback(to_batch=0) = Iceberg rollback_to_snapshot + expire: the
+    live read equals the as-of-0 read, and the next ingest commits as
+    batch 1 again."""
+    from nexlt_spark.index.incremental import rollback
+
+    path = str(tmp_path_factory.mktemp("rb"))
+    b1, b2 = batches
+    ingest_batch(b1, path, build_id="b1")
+    snap0_docs = {
+        (r["doc_key"], r["text"]) for r in live_documents(spark, path).collect()
+    }
+    ingest_batch(b2, path, build_id="b2")
+    assert rollback(path, 0) == [1]
+    assert [m["batch"] for m in batches_done(path)] == [0]
+    after = {(r["doc_key"], r["text"]) for r in live_documents(spark, path).collect()}
+    assert after == snap0_docs
+    r2 = ingest_batch(b2, path, build_id="b2-again")
+    assert r2.batch == 1
+    with pytest.raises(ValueError):
+        rollback(path, 5)
