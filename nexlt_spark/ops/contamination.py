@@ -1,0 +1,116 @@
+"""Benchmark contamination detection — test-set n-gram overlap.
+
+The training-data op the dedup family doesn't cover: before training on
+a web-scale corpus you must find documents that CONTAIN evaluation data
+(GSM8K answers pasted into a blog post, MMLU questions in a forum dump),
+which is an asymmetric containment problem, not near-duplication — a
+10-page document holding one verbatim benchmark question has Jaccard
+similarity ~0 to it and sails through every near-dup filter. The
+standard remedy (e.g. the GPT-3 and Llama training reports) is n-gram
+overlap: flag a (document, benchmark item) pair when they share at least
+``min_hits`` distinct token n-grams, with n high enough (8-13) that
+natural re-use is improbable.
+
+Spark shape, sized for 10^12 turns vs a ~10^4-item benchmark:
+
+1. both sides: tokens → n-gram shingles (`shingles_col`, the same JVM
+   transform the MinHash family uses) → explode distinct → 8-byte
+   ``xxhash64`` shingle keys (the string never crosses the exchange);
+2. the benchmark side is a few-MB key set BY DEFINITION (benchmarks are
+   small) — the join is a **broadcast** hash join against the corpus
+   shingle stream, so the corpus is never shuffled on shingle;
+3. the only aggregation is ``groupBy(doc_id, bench_id)`` over JOIN
+   SURVIVORS — rows exist only for actual overlaps, so the shuffle is
+   bounded by real contamination, not corpus size.
+
+A 64-bit hash collision can produce a spurious single hit
+(P ≈ 8·10⁻²⁰ per shingle pair); callers wanting certainty at
+``min_hits=1`` re-verify flagged pairs textually — flagged volume is
+tiny by construction.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexlt_spark.ops.minhash import shingles_col
+
+
+def _shingle_hashes(
+    df: DataFrame, out_id: str, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(out_id, shingle_hash) — distinct per doc, whole-stage codegen.
+    Same [a-z0-9]+ tokenization as ops.textstats.tokens_col, applied to
+    the caller's text column."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(shingles_col(toks, shingle_n)).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        .select(out_id, F.explode("_sh").alias("_s"))
+        .select(out_id, F.xxhash64("_s").alias("shingle_hash"))
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag (corpus doc, benchmark item) pairs sharing ≥ ``min_hits``
+    distinct token ``shingle_n``-grams.
+
+    Returns (doc_id, bench_id, n_hits, doc_shingles, overlap_frac) where
+    ``overlap_frac = n_hits / bench_shingles`` — the CONTAINMENT of the
+    benchmark item in the document (1.0 = every n-gram of the item
+    appears), which is the decontamination-relevant direction; Jaccard
+    would divide by the big document and vanish.
+    """
+    c = _shingle_hashes(corpus, "doc_id", id_col, text_col, shingle_n)
+    b = _shingle_hashes(benchmark, "bench_id", bench_id_col, bench_text_col, shingle_n)
+    b_sizes = b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_shingles"))
+    c_sizes = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_shingles"))
+    hits = (
+        c.join(F.broadcast(b), "shingle_hash")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+    return (
+        hits.join(c_sizes, "doc_id")
+        .join(F.broadcast(b_sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_hits",
+            "doc_shingles",
+            (F.col("n_hits") / F.col("bench_shingles")).alias("overlap_frac"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """The corpus minus every document ``ngram_contamination`` flags —
+    one left_anti join on doc_id (broadcast while the flagged set is
+    small, which it is unless the corpus really does contain the
+    benchmark wholesale)."""
+    flagged = ngram_contamination(
+        corpus, benchmark, shingle_n, min_hits,
+        id_col, text_col, bench_id_col, bench_text_col,
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "left_anti")
