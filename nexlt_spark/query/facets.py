@@ -28,9 +28,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def facet_field_counts(df: DataFrame, fld: str) -> DataFrame:
-    """facet.field: (value, n) counts per distinct field value."""
-    return df.groupBy(F.col(fld)).agg(F.count(F.lit(1)).alias("n"))
+def facet_field_counts(
+    df: DataFrame,
+    fld: str,
+    prefix: str = None,
+    mincount: int = 0,
+    limit: int = -1,
+    offset: int = 0,
+    sort: str = None,
+    missing: bool = False,
+) -> DataFrame:
+    """facet.field: (value, n) counts per distinct field value, with the
+    SimpleFacetParameters refinements the reference's widgets emit
+    (AbstractFacetWidget.js:43-54): ``facet.prefix`` (filter BEFORE the
+    aggregate — it reaches the scan as a StartsWith pushdown),
+    ``facet.mincount``, ``facet.limit``/``facet.offset`` paging,
+    ``facet.sort`` ('count' = n desc — Solr's default when a limit is in
+    effect — or 'index' = value asc), and ``facet.missing`` (append the
+    null-value count row). Solr's null handling is preserved: null field
+    values are excluded from the value counts and reported only via
+    facet.missing.
+
+    The refinements change only a post-aggregate top-N — the heavy part
+    stays one map-side-combined groupBy per call at any scale; limit+
+    offset bound what reaches the driver.
+    """
+    vals = df.where(F.col(fld).isNotNull())
+    if prefix is not None:
+        vals = vals.where(F.col(fld).startswith(prefix))
+    counts = vals.groupBy(F.col(fld)).agg(F.count(F.lit(1)).alias("n"))
+    if mincount > 0:
+        counts = counts.where(F.col("n") >= mincount)
+    if sort is None:
+        sort = "count" if limit >= 0 else "index"
+    if sort == "count":
+        counts = counts.orderBy(F.col("n").desc(), F.col(fld).asc())
+    elif sort == "index":
+        counts = counts.orderBy(F.col(fld).asc())
+    else:
+        raise ValueError(f"facet.sort must be 'count' or 'index', got {sort!r}")
+    if offset > 0:
+        counts = counts.offset(offset)
+    if limit >= 0:
+        counts = counts.limit(limit)
+    if missing:
+        n_null = df.where(F.col(fld).isNull()).agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(None).cast(df.schema[fld].dataType).alias(fld), "n")
+        counts = counts.unionByName(n_null)
+    return counts
 
 
 def facet_query_counts(df: DataFrame, predicates: Dict[str, Column]) -> DataFrame:

@@ -288,6 +288,7 @@ def select(
     facet_field: Sequence[str] = (),
     facet_query: Optional[Dict[str, Union[Column, str]]] = None,
     facet_range: Optional[Dict[str, Tuple[float, float, float]]] = None,
+    facet_params: Optional[Dict[str, Dict]] = None,
     hl: bool = False,
     hl_fragsize: int = 100,
     compute_num_found: bool = False,
@@ -297,6 +298,9 @@ def select(
     Returns lazy DataFrames throughout; see SelectResponse. The page
     itself takes the engine's serving plans (fused per-range kernels on
     ranged stores, TakeOrderedAndProject top-k) via run_query.
+    ``facet_params`` refines facet.field per field with the
+    SimpleFacetParameters kwargs facet_field_counts accepts
+    (prefix/mincount/limit/offset/sort/missing).
     """
     an = getattr(index, "analyzer", "standard")
     query = parse_request(
@@ -319,7 +323,9 @@ def select(
         if compute_num_found:
             resp.num_found = matches.count()
         for fld in facet_field:
-            resp.facet_fields[fld] = facet_field_counts(matches, fld)
+            resp.facet_fields[fld] = facet_field_counts(
+                matches, fld, **((facet_params or {}).get(fld, {}))
+            )
         if facet_query:
             preds = {
                 name: (F.expr(p) if isinstance(p, str) else p)
@@ -431,6 +437,24 @@ def select_url(
 
     faceting = one("facet", "false").lower() == "true"
     facet_field = params.get("facet.field", []) if faceting else []
+    facet_params: Dict[str, Dict] = {}
+    if facet_field:
+        # SimpleFacetParameters the reference widgets emit
+        # (AbstractFacetWidget.js:43-54): global facet.<p> with per-field
+        # f.<fld>.facet.<p> overrides, Solr precedence.
+        casts = {
+            "prefix": str, "sort": str,
+            "limit": int, "offset": int, "mincount": int,
+            "missing": lambda v: v.lower() == "true",
+        }
+        for fld in facet_field:
+            kw = {}
+            for p, cast in casts.items():
+                v = one(f"f.{fld}.facet.{p}") or one(f"facet.{p}")
+                if v is not None:
+                    kw[p] = cast(v)
+            if kw:
+                facet_params[fld] = kw
     facet_query = None
     if faceting and params.get("facet.query"):
         facet_query = {
@@ -462,6 +486,7 @@ def select_url(
         facet_field=facet_field,
         facet_query=facet_query,
         facet_range=facet_range,
+        facet_params=facet_params or None,
         hl=one("hl", "false").lower() == "true",
         hl_fragsize=int(one("hl.fragsize", "100")),
         compute_num_found=compute_num_found,

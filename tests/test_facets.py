@@ -50,3 +50,52 @@ def test_facet_range_boundary_semantics(spark):
     got = {r["bucket_start"]: r["n"] for r in facet_range_counts(df, "v", 0, 100, 10).collect()}
     assert got[0.0] == 1 and got[10.0] == 1 and got[90.0] == 1
     assert sum(got.values()) == 3  # v=100.0 excluded
+
+
+def test_facet_refinements(spark):
+    """SimpleFacetParameters (AbstractFacetWidget.js:43-54): prefix,
+    mincount, limit/offset paging, sort=count|index, missing."""
+    rows = [("apple",), ("apple",), ("apricot",), ("banana",), ("banana",),
+            ("banana",), ("cherry",), (None,)]
+    df = spark.createDataFrame(rows, "fruit string")
+
+    # prefix filters before counting; nulls excluded from value rows
+    got = {r["fruit"]: r["n"] for r in facet_field_counts(df, "fruit", prefix="ap").collect()}
+    assert got == {"apple": 2, "apricot": 1}
+
+    # sort=count desc with value tiebreak; limit+offset page the list
+    ordered = [r["fruit"] for r in facet_field_counts(df, "fruit", sort="count").collect()]
+    assert ordered == ["banana", "apple", "apricot", "cherry"]
+    page = [r["fruit"] for r in facet_field_counts(df, "fruit", sort="count", limit=2, offset=1).collect()]
+    assert page == ["apple", "apricot"]
+
+    # mincount prunes; sort=index is lexicographic
+    got = [r["fruit"] for r in facet_field_counts(df, "fruit", mincount=2, sort="index").collect()]
+    assert got == ["apple", "banana"]
+
+    # missing appends the null-count row
+    rows_all = facet_field_counts(df, "fruit", missing=True).collect()
+    assert {r["fruit"]: r["n"] for r in rows_all}[None] == 1
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        facet_field_counts(df, "fruit", sort="sideways")
+
+
+def test_facet_refinements_via_url(index, documents):
+    """select_url threads global facet.<p> and per-field f.<fld>.facet.<p>
+    (Solr precedence: per-field wins)."""
+    from nexlt_spark.query.select import select, select_url
+
+    r = select_url(
+        index, documents,
+        "q=*:*&facet=true&facet.field=role&facet.limit=1&f.role.facet.sort=count",
+    )
+    want = select(
+        index, documents, q="*:*", facet_field=["role"],
+        facet_params={"role": {"limit": 1, "sort": "count"}},
+    )
+    assert [tuple(x) for x in r.facet_fields["role"].collect()] == [
+        tuple(x) for x in want.facet_fields["role"].collect()
+    ]
+    assert r.facet_fields["role"].count() == 1
