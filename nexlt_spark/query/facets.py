@@ -129,3 +129,67 @@ def facet_range_counts(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+# Solr date-math gap units (facet.date.gap "+1DAY"), in seconds. MONTH/
+# YEAR are calendar-variable in Solr; the fixed-width subset covers the
+# histogram use the reference UI puts date facets to.
+_DATE_GAP_SECONDS = {
+    "SECOND": 1,
+    "MINUTE": 60,
+    "HOUR": 3600,
+    "DAY": 86400,
+    "WEEK": 7 * 86400,
+}
+
+
+def parse_date_gap(gap: str) -> int:
+    """'+1DAY' / '+6HOURS' → seconds. Raises on calendar-variable units
+    (MONTH/YEAR) rather than approximating them."""
+    import re as _re
+
+    m = _re.match(r"^\+(\d+)([A-Z]+?)S?$", gap.strip().upper())
+    if not m or m.group(2) not in _DATE_GAP_SECONDS:
+        raise ValueError(
+            f"unsupported facet.date.gap {gap!r} (use +N"
+            f"{'/'.join(_DATE_GAP_SECONDS)}; MONTH/YEAR are calendar-"
+            "variable and not supported)"
+        )
+    return int(m.group(1)) * _DATE_GAP_SECONDS[m.group(2)]
+
+
+def facet_date_counts(
+    df: DataFrame, col: str, start: str, end: str, gap: str
+) -> DataFrame:
+    """facet.date (AbstractFacetWidget.js:63-72): (bucket_start, n) time
+    histogram over [start, end) in Solr date-math gaps ('+1DAY').
+
+    Same shape as facet_range_counts — one groupBy over epoch-bucketed
+    timestamps left-joined onto the generated bucket spine so empty
+    buckets report 0 — with bucket_start returned as a timestamp. The
+    spine is driver-sized (buckets, not rows); the scan aggregates
+    map-side at any corpus size.
+    """
+    gap_s = parse_date_gap(gap)
+    spark = df.sparkSession
+    bounds = spark.range(1).select(
+        F.unix_timestamp(F.to_timestamp(F.lit(start))).alias("s"),
+        F.unix_timestamp(F.to_timestamp(F.lit(end))).alias("e"),
+    ).collect()[0]
+    if bounds["s"] is None or bounds["e"] is None or bounds["e"] <= bounds["s"]:
+        raise ValueError(f"facet.date needs parseable start < end, got {start!r}..{end!r}")
+    s_epoch, e_epoch = int(bounds["s"]), int(bounds["e"])
+    n_buckets = int(math.ceil((e_epoch - s_epoch) / gap_s))
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    v = F.unix_timestamp(F.col(col))
+    counts = (
+        df.where((F.col(col) >= F.to_timestamp(F.lit(start))) & (F.col(col) < F.to_timestamp(F.lit(end))))
+        .groupBy(F.floor((v - F.lit(s_epoch)) / F.lit(gap_s)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(counts, "bucket", "left").select(
+        F.timestamp_seconds(F.lit(s_epoch) + F.col("bucket") * F.lit(gap_s)).alias(
+            "bucket_start"
+        ),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )

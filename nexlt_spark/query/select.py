@@ -50,6 +50,7 @@ from nexlt_spark.query.exact import (
     score_postings,
 )
 from nexlt_spark.query.facets import (
+    facet_date_counts,
     facet_field_counts,
     facet_query_counts,
     facet_range_counts,
@@ -78,6 +79,7 @@ class SelectResponse:
     facet_fields: Dict[str, DataFrame] = field(default_factory=dict)
     facet_queries: Optional[DataFrame] = None
     facet_ranges: Dict[str, DataFrame] = field(default_factory=dict)
+    facet_dates: Dict[str, DataFrame] = field(default_factory=dict)
 
 
 def _merge_fq(base: Query, fq_parsed: Query) -> None:
@@ -288,6 +290,7 @@ def select(
     facet_field: Sequence[str] = (),
     facet_query: Optional[Dict[str, Union[Column, str]]] = None,
     facet_range: Optional[Dict[str, Tuple[float, float, float]]] = None,
+    facet_date: Optional[Dict[str, Tuple[str, str, str]]] = None,
     facet_params: Optional[Dict[str, Dict]] = None,
     hl: bool = False,
     hl_fragsize: int = 100,
@@ -317,7 +320,10 @@ def select(
 
     resp = SelectResponse(docs=page)
 
-    need_matches = bool(facet_field) or facet_query or facet_range or compute_num_found
+    need_matches = (
+        bool(facet_field) or facet_query or facet_range or facet_date
+        or compute_num_found
+    )
     if need_matches:
         matches = matching_docs(index, documents, query)
         if compute_num_found:
@@ -335,6 +341,11 @@ def select(
         if facet_range:
             for col, (lo, hi, gap) in facet_range.items():
                 resp.facet_ranges[col] = facet_range_counts(matches, col, lo, hi, gap)
+        if facet_date:
+            for col, (d_start, d_end, d_gap) in facet_date.items():
+                resp.facet_dates[col] = facet_date_counts(
+                    matches, col, d_start, d_end, d_gap
+                )
     return resp
 
 
@@ -471,6 +482,16 @@ def select_url(
                     raise QueryParseError(f"facet.range={col} needs facet.range.{part}")
                 return v
             facet_range[col] = (float(rng("start")), float(rng("end")), float(rng("gap")))
+    facet_date = None
+    if faceting and params.get("facet.date"):
+        facet_date = {}
+        for col in params["facet.date"]:
+            def dte(part: str) -> str:
+                v = one(f"f.{col}.facet.date.{part}") or one(f"facet.date.{part}")
+                if v is None:
+                    raise QueryParseError(f"facet.date={col} needs facet.date.{part}")
+                return v
+            facet_date[col] = (dte("start"), dte("end"), dte("gap"))
 
     return select(
         index,
@@ -486,6 +507,7 @@ def select_url(
         facet_field=facet_field,
         facet_query=facet_query,
         facet_range=facet_range,
+        facet_date=facet_date,
         facet_params=facet_params or None,
         hl=one("hl", "false").lower() == "true",
         hl_fragsize=int(one("hl.fragsize", "100")),

@@ -99,3 +99,51 @@ def test_facet_refinements_via_url(index, documents):
         tuple(x) for x in want.facet_fields["role"].collect()
     ]
     assert r.facet_fields["role"].count() == 1
+
+
+def test_facet_date_counts(spark):
+    """facet.date: timestamp histogram with Solr date-math gaps; empty
+    buckets 0; [start, end) boundaries; Z-suffixed bounds accepted."""
+    from nexlt_spark.query.facets import facet_date_counts, parse_date_gap
+
+    rows = [("2026-01-01 00:30:00",), ("2026-01-01 05:59:59",),
+            ("2026-01-01 06:00:00",), ("2026-01-02 10:00:00",),
+            ("2026-01-04 00:00:00",)]  # the last is == end → excluded
+    df = spark.createDataFrame(rows, "t string").select(
+        F.to_timestamp("t").alias("ts")
+    )
+    got = {
+        str(r["bucket_start"]): r["n"]
+        for r in facet_date_counts(
+            df, "ts", "2026-01-01T00:00:00Z", "2026-01-04T00:00:00Z", "+6HOURS"
+        ).collect()
+    }
+    assert len(got) == 12  # 3 days / 6h, empties included
+    assert got["2026-01-01 00:00:00"] == 2
+    assert got["2026-01-01 06:00:00"] == 1
+    assert got["2026-01-02 06:00:00"] == 1
+    assert sum(got.values()) == 4
+
+    assert parse_date_gap("+1DAY") == 86400
+    assert parse_date_gap("+2WEEKS") == 14 * 86400
+    import pytest as _pt
+    for bad in ("+1MONTH", "1DAY", "+0.5DAY", "sideways"):
+        with _pt.raises(ValueError):
+            parse_date_gap(bad)
+
+
+def test_facet_date_via_url(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    lo, hi = documents.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd'T'00:00:00").alias("lo"),
+        F.date_format(F.date_add(F.max("ts"), 1), "yyyy-MM-dd'T'00:00:00").alias("hi"),
+    ).collect()[0]
+    r = select_url(
+        index, documents,
+        f"q=*:*&facet=true&facet.date=ts&facet.date.start={lo}"
+        f"&facet.date.end={hi}&facet.date.gap=%2B1DAY",
+    )
+    hist = r.facet_dates["ts"].collect()
+    assert sum(x["n"] for x in hist) == documents.count()
+    assert all(x["n"] >= 0 for x in hist)
