@@ -142,6 +142,22 @@ def _merge_fq(base: Query, fq_parsed: Query) -> None:
         bf.fields = merged
 
 
+def _sanitize_fl(query: Query, documents: DataFrame) -> None:
+    """Solr ignores fl entries naming no stored field (the response
+    writer just skips them) — mirror that at the handler so a stray
+    ``fl=10`` is dropped instead of escaping as an AnalysisException.
+    An fl with NO known fields falls back to all stored fields, as an
+    empty fl does in Solr. Unknown SORT fields, by contrast, are a 400
+    in Solr ("can not sort on undefined field") — raise QueryParseError,
+    the facade's 400."""
+    known = set(documents.columns)
+    if query.fl:
+        query.fl = [c for c in query.fl if c in known] or None
+    for c, _ in query.sort or []:
+        if c not in known:
+            raise QueryParseError(f"can not sort on undefined field {c!r}")
+
+
 def parse_request(
     q: str,
     fq: Sequence[str] = (),
@@ -252,6 +268,7 @@ def select_rows(
         q, fq, start=start, rows=rows, sort=sort, fl=fl,
         default_field=default_field, synonyms=synonyms, analyzer=an,
     )
+    _sanitize_fl(query, documents)
     cacheable = (
         use_cache
         and not query.sort
@@ -310,6 +327,7 @@ def select(
         q, fq, start=start, rows=rows, sort=sort, fl=fl,
         default_field=default_field, synonyms=synonyms, analyzer=an,
     )
+    _sanitize_fl(query, documents)
 
     page = run_query(index, documents, query)
     if hl:

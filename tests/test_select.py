@@ -339,3 +339,49 @@ def test_url_response_encoding_params_ignored(index, documents):
     got = select_url(index, documents, "q=error&wt=json&indent=true&rows=3").docs
     want = select(index, documents, q="error", rows=3).docs
     assert rows(got, "doc_id", "score") == rows(want, "doc_id", "score")
+
+
+def test_url_param_soup_never_crashes_untyped(index, documents):
+    """Random /select param soup must either produce a SelectResponse or
+    raise QueryParseError/ValueError (the 400s) — no other exception type
+    may escape the facade. Query execution is NOT triggered (responses
+    stay lazy), so this fuzzes the parse/dispatch layer."""
+    import random
+
+    from nexlt_spark.query.select import SelectResponse, select_url
+
+    rng = random.Random(20260819)
+    keys = ["q", "fq", "rows", "start", "sort", "fl", "facet", "facet.field",
+            "facet.range", "facet.range.start", "facet.range.end",
+            "facet.range.gap", "facet.date", "facet.date.start", "facet.date.end",
+            "facet.date.gap", "facet.limit", "facet.sort", "facet.prefix",
+            "hl", "hl.fragsize", "wt", "df", "zzz"]
+    vals = ["error", "role:user", "*:*", "true", "false", "5", "-1", "ts desc",
+            "ts", "turn_idx", "role", "0", "100", "10", "+1DAY", "2026-01-01",
+            '"a b"', "a AND b", "[1 TO 2]", "", "%2B", "count", "x,y"]
+    for _ in range(300):
+        n = rng.randrange(0, 7)
+        req = "&".join(
+            f"{rng.choice(keys)}={rng.choice(vals)}" for _ in range(n)
+        )
+        try:
+            r = select_url(index, documents, req)
+        except (ValueError,):  # QueryParseError is a ValueError
+            continue
+        assert isinstance(r, SelectResponse)
+
+
+def test_unknown_fl_ignored_unknown_sort_raises(index, documents):
+    """Solr semantics at the handler: unknown fl names are skipped by the
+    response writer (fl=10 must not become an AnalysisException); unknown
+    sort fields are a 400 ('can not sort on undefined field')."""
+    from nexlt_spark.query.select import select_url
+
+    got = select_url(index, documents, "q=error&fl=10,conv_id&rows=3").docs
+    assert "conv_id" in got.columns and "10" not in got.columns
+    got.collect()  # executes cleanly
+    # an fl with no known fields falls back to all stored fields
+    allf = select_url(index, documents, "q=error&fl=bogus&rows=3").docs
+    assert "text" in allf.columns
+    with pytest.raises(QueryParseError, match="undefined field"):
+        select_url(index, documents, "q=error&sort=bogus desc")
