@@ -292,9 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lang=lang[0] if lang else None, phrase=pq.phrase, not_terms=pq.not_terms,
         )
 
-    # raw string in, rank-identical to the structured-query entries out
-    q["parsed_query_and"] = lambda s, d: _parsed(s, d, "text:spark AND text:join")
-    q["parsed_query_not"] = lambda s, d: _parsed(s, d, "spark NOT join")
+    # raw string in, rank-identical to the structured-query entries out.
+    # Two of the four r2 parser entries (AND / NOT raw forms) moved to
+    # pytest-only coverage (tests/test_parser.py + the full-query fuzz in
+    # tests/test_bm25_rank_identity.py) to free driver-contract slots for
+    # the round-3 pipeline ops under the driver's 50-entry check; the two
+    # kept here exercise the widest parser surface (fq merge, phrase).
     q["parsed_query_filtered"] = lambda s, d: _parsed(s, d, "value AND lang:en")
     q["parsed_query_phrase"] = lambda s, d: _parsed(s, d, '"table part"')
 
@@ -538,6 +541,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard_pairs"] = _ngram_jaccard
 
+    def _survivors(s, d):
+        # end-to-end near-dup dedup: MinHash pair list -> connected
+        # components (min-label propagation, ops/dedup.near_dup_clusters)
+        # -> keep each cluster's min-doc_id representative. The oracle is
+        # the exhaustive-Jaccard pair scan closed transitively with a
+        # recursive CTE — so banding, clustering, and survivor selection
+        # are all value-checked, not just the pair list.
+        pairs = minhash.near_duplicate_pairs(
+            _docs(s, d), threshold=0.9, n_hashes=16, n_bands=4, shingle_n=3
+        )
+        return dedup.dedup_survivors(_docs(s, d), pairs).select("doc_id")
+
+    q["dedup_survivors"] = _survivors
+
+    def _contamination(s, d):
+        # benchmark decontamination: flag corpus docs CONTAINING an eval
+        # item's 8-gram shingles (asymmetric containment — near-dup
+        # Jaccard provably misses this; ops/contamination.py). The
+        # "benchmark" is a deterministic slice of the corpus (every 37th
+        # doc's 120-char prefix) so the oracle can re-derive it in SQL;
+        # planted duplicate docs make some hits CROSS-document, i.e. the
+        # entry exercises real containment, not just self-matches.
+        from nexlt_spark.ops.contamination import ngram_contamination
+
+        docs = _docs(s, d)
+        bench = docs.where(F.col("doc_id") % 37 == 0).select(
+            "doc_id", F.expr("substring(text, 1, 120)").alias("text")
+        )
+        return ngram_contamination(docs, bench, shingle_n=8, min_hits=3).select(
+            "doc_id",
+            "bench_id",
+            "n_hits",
+            "doc_shingles",
+            F.round("overlap_frac", 6).alias("overlap_frac"),
+        )
+
+    q["contamination_hits"] = _contamination
+
     def _multimodal_profile(s, d):
         # binary media plumbing (decode is a deterministic fake — no media
         # libs in this container); the synth table's metadata is pure
@@ -631,8 +672,6 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY c DESC, doc_id ASC LIMIT 10"
     )
     o["bm25_synonyms"] = _sql_bm25_2("join", "merge", "or")
-    o["parsed_query_and"] = o["bm25_multi_and"]
-    o["parsed_query_not"] = o["bm25_not"]
     o["parsed_query_filtered"] = o["bm25_filtered"]
     o["select_handler"] = o["bm25_filtered"]
     o["parsed_query_phrase"] = o["bm25_phrase"]
@@ -827,6 +866,59 @@ def oracle_sql() -> dict[str, str]:
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
         "WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)\n"
         "    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.9"
+    )
+
+    # dedup_survivors: exhaustive-Jaccard pairs (same scan as the minhash
+    # oracle) -> symmetric edge closure via a recursive CTE -> min-label
+    # cluster id -> drop every non-representative. Value-checks the whole
+    # pairs -> clusters -> survivors pipeline, including transitivity
+    # (A~B, B~C collapse to one survivor even when A~C was never a pair).
+    o["dedup_survivors"] = (
+        "WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks\n"
+        "  FROM documents),\n"
+        "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3\n"
+        "    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)])\n"
+        "    ELSE [array_to_string(toks, ' ')] END AS shingles\n"
+        "  FROM tok WHERE len(toks) > 0),\n"
+        "pairs AS (\n"
+        "  SELECT a.doc_id AS da, b.doc_id AS db\n"
+        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)\n"
+        "      / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.9),\n"
+        "edges AS (SELECT da AS s, db AS d FROM pairs UNION SELECT db, da FROM pairs),\n"
+        "reach(s, d) AS (\n"
+        "  SELECT s, d FROM edges\n"
+        "  UNION\n"
+        "  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),\n"
+        "losers AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(d)) < s)\n"
+        "SELECT d.doc_id FROM documents d\n"
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)"
+    )
+
+    # contamination_hits: the benchmark side is re-derived in SQL (every
+    # 37th doc's 120-char prefix); containment is counted on distinct
+    # 8-gram shingle INTERSECTION — the engine's xxhash64 shingle keys are
+    # a bandwidth optimization whose collisions are ~8e-20/pair, so the
+    # string-join oracle is exact.
+    _CONTAM_SH = (
+        "(SELECT {id} AS id, CASE WHEN len(toks) >= 8\n"
+        "    THEN list_distinct([array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks)-6)])\n"
+        "    ELSE [array_to_string(toks, ' ')] END AS shingles\n"
+        "  FROM (SELECT {id}, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM {src})\n"
+        "  WHERE len(toks) > 0)"
+    )
+    o["contamination_hits"] = (
+        "WITH benchdocs AS (\n"
+        "  SELECT doc_id AS bench_id, substring(text, 1, 120) AS text\n"
+        "  FROM documents WHERE doc_id % 37 = 0),\n"
+        "shc AS " + _CONTAM_SH.format(id="doc_id", src="documents") + ",\n"
+        "shb AS " + _CONTAM_SH.format(id="bench_id", src="benchdocs") + "\n"
+        "SELECT c.id AS doc_id, b.id AS bench_id,\n"
+        "  CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT) AS n_hits,\n"
+        "  CAST(len(c.shingles) AS BIGINT) AS doc_shingles,\n"
+        "  round(CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE)\n"
+        "    / len(b.shingles), 6) AS overlap_frac\n"
+        "FROM shc c JOIN shb b ON len(list_intersect(c.shingles, b.shingles)) >= 3"
     )
 
     o["doc_fingerprint"] = (
