@@ -45,7 +45,7 @@ from nexlt_spark.query.model import Query, QueryFilters
 from nexlt_spark.query.planner import topk as planner_topk
 from nexlt_spark.query.wand import wand_topk
 from nexlt_spark.synth import synth_transcripts
-from nexlt_spark.ops import dedup, minhash, similarity, textstats
+from nexlt_spark.ops import contamination, dedup, minhash, similarity, textstats
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -220,6 +220,18 @@ def main():
                 minhash.near_duplicate_pairs(
                     docs_tbl, threshold=0.9, n_hashes=16, n_bands=4
                 ),
+            ).count(),
+            # Gopher repetition signals + benchmark contamination — the
+            # round-3 quality/decontamination ops, benched so regressions
+            # in the explode/groupBy plans are visible round-over-round
+            "op_repetition": lambda: textstats.repetition_scores(docs_tbl).count(),
+            "op_contamination": lambda: contamination.ngram_contamination(
+                docs_tbl,
+                docs_tbl.where(F.col("doc_id") % 37 == 0).select(
+                    "doc_id", F.expr("substring(text, 1, 120)").alias("text")
+                ),
+                shingle_n=8,
+                min_hits=3,
             ).count(),
         }
     )

@@ -144,3 +144,80 @@ def dedup_survivors(
     labels = near_dup_clusters(pairs, a_col, b_col)
     losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(line_hash, doc_freq) for every line occurring in ≥ ``min_doc_freq``
+    DISTINCT documents — the corpus-level boilerplate set (nav bars,
+    cookie banners, license headers) that C4-style pipelines strip
+    line-by-line because whole-doc dedup can't touch it.
+
+    Scale shape: lines are keyed by ``xxhash64`` so the groupBy shuffles
+    8-byte keys, never line text; the per-doc ``distinct`` runs BEFORE
+    the exchange (a doc repeating its own line 100x contributes 1), and
+    the count is a plain ``count`` after it — no countDistinct shuffle of
+    (key, doc) pairs on top. The survivor set is small by construction
+    (only lines shared across ≥ min_doc_freq docs), broadcastable into
+    `strip_boilerplate_lines`.
+    """
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .where(F.length(F.trim(F.col("line"))) > 0)
+        .select("doc_id", F.xxhash64(F.col("line")).alias("line_hash"))
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite every document with its boilerplate lines removed,
+    preserving the original line order; all non-text columns pass
+    through, and a doc that was ALL boilerplate survives with ''.
+
+    Two exchanges total: the boilerplate-set groupBy (8-byte keys) and
+    the per-doc reassembly groupBy — the only stage that moves line
+    text, keyed by doc_id with the original position carried so
+    ``sort_array`` restores order without a global sort. The anti-join
+    against the boilerplate set is a broadcast (the set is small by
+    construction; Spark's AQE will pick BHJ from its size).
+    """
+    bp = boilerplate_lines(docs, min_doc_freq, text_col)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = lines.join(
+        F.broadcast(bp.select("line_hash")),
+        F.xxhash64(F.col("line")) == F.col("line_hash"),
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("_clean")
+        )
+    )
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .drop("_clean")
+    )

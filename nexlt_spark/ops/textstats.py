@@ -111,3 +111,121 @@ def language_id(docs: DataFrame, languages=None, min_hits: int = 1) -> DataFrame
         pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best >= min_hits, pred).otherwise(F.lit("und"))
     return scored.select("doc_id", pred.alias("lang_pred"), best.alias("hits"))
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# --------------------------------------------------------------------------
+
+def repetition_scores(
+    docs: DataFrame,
+    top_ns: tuple = (2, 3),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Per-doc repetition signals, the Gopher report's "repetitious text"
+    quality rules (Rae et al. 2021 §A1.1) — the standard pre-filter that
+    catches keyword-stuffed / template-generated pages near-dup Jaccard
+    and ``quality_scores`` both miss:
+
+    - ``dup_line_frac``: fraction of the doc's lines that occur more than
+      once within it; ``dup_line_char_frac``: fraction of the doc's line
+      characters held in those repeated lines. (Gopher counts every
+      occurrence of a repeated line, as here.)
+    - ``top_{n}gram_char_frac`` for n in ``top_ns``: character mass of
+      the single most frequent token n-gram (occurrences x gram length /
+      text length, capped at 1.0) — high values mean one phrase dominates.
+    - ``dup_{n}gram_char_frac`` for n in ``dup_ns``: character mass of
+      ALL token n-grams occurring more than once.
+
+    Scale shape: line signals are row-local higher-order Column functions
+    (zero shuffle — a doc's lines never leave its row; the per-row
+    count-of-equals scan is O(L^2) on L = lines per doc, tens not
+    thousands). N-gram signals need cross-row state only per (doc, gram),
+    so all requested n's are emitted through ONE posexplode and ONE
+    groupBy(doc_id, n, gram) with map-side partial aggregation — the
+    shuffle key is well-spread by construction and carries counts, never
+    text bodies. Ties on the top gram resolve to the larger char mass
+    (count x length), then deterministically.
+    """
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    line_counts = F.transform(
+        lines, lambda x: F.size(F.filter(lines, lambda y: y == x))
+    )
+    dup_mask = F.transform(line_counts, lambda c: (c > 1).cast("int"))
+    dup_lines = F.aggregate(dup_mask, F.lit(0), lambda a, x: a + x)
+    line_chars = F.transform(lines, lambda x: F.length(x))
+    total_line_chars = F.aggregate(line_chars, F.lit(0), lambda a, x: a + x)
+    dup_line_chars = F.aggregate(
+        F.zip_with(line_chars, dup_mask, lambda c, m: c * m),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    line_sig = docs.select(
+        "doc_id",
+        F.round(
+            F.when(n_lines == 0, F.lit(0.0)).otherwise(dup_lines.cast("double") / n_lines), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(total_line_chars == 0, F.lit(0.0)).otherwise(
+                dup_line_chars.cast("double") / total_line_chars
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens_col()
+    from nexlt_spark.ops.minhash import shingles_col
+
+    def _tag(n):
+        # NB: must be a UNARY lambda built in a factory — `lambda g, n=n:`
+        # would be introspected by pyspark as the (value, index) binary
+        # transform form, silently binding n to the array INDEX
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_arrays = F.array(
+        *[
+            F.transform(
+                # unlike the shingle form, a doc shorter than n tokens has
+                # NO n-grams (no whole-doc fallback — repetition of the
+                # whole doc is the line signal's job)
+                F.when(F.size(toks) >= n, shingles_col(toks, n)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                _tag(n),
+            )
+            for n in all_ns
+        ]
+    )
+    grams = docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.explode(F.flatten(gram_arrays)).alias("g"),
+    ).select("doc_id", "text_len", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = grams.groupBy("doc_id", "text_len", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mass = F.col("cnt") * F.length("gram")
+    # one groupBy(doc_id) folds every (n, top/dup) cell via conditional
+    # aggregation — no intermediate per-(doc, n) shuffle, and its doc_id
+    # partitioning is reused by the join below (one exchange, not two)
+    frac = lambda m: F.round(F.least(m.cast("double") / F.col("text_len"), F.lit(1.0)), 6)
+    wide = per_gram.groupBy("doc_id", "text_len").agg(
+        *[
+            frac(
+                F.coalesce(F.max(F.when(F.col("n") == n, mass)), F.lit(0))
+            ).alias(f"top_{n}gram_char_frac")
+            for n in top_ns
+        ],
+        *[
+            frac(
+                F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), mass).otherwise(F.lit(0)))
+            ).alias(f"dup_{n}gram_char_frac")
+            for n in dup_ns
+        ],
+    )
+    out = line_sig.join(wide.drop("text_len"), "doc_id", "left")
+    fills = {f"top_{n}gram_char_frac": 0.0 for n in top_ns}
+    fills.update({f"dup_{n}gram_char_frac": 0.0 for n in dup_ns})
+    return out.fillna(fills)
