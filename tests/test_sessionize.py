@@ -1,0 +1,160 @@
+"""Stateful streaming sessionization (applyInPandasWithState): close-on-
+gap semantics, cross-micro-batch state accumulation, and equivalence
+with the batch groupBy oracle.
+"""
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from nexlt_spark.streaming.sessions import (
+    SESSION_SCHEMA,
+    closed_sessions_batch,
+    sessionize_turns,
+)
+from nexlt_spark.synth import TRANSCRIPT_SCHEMA
+
+T0 = datetime(2024, 1, 1, 10, 0, 0)
+GAP = 1800
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "drop": str(tmp_path / "drop"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "out": str(tmp_path / "out"),
+    }
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def _drop(df, drop_dir):
+    df.coalesce(1).write.mode("append").parquet(drop_dir)
+
+
+def _drain(spark, dirs, gap_seconds=GAP):
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(dirs["drop"])
+    )
+    q = (
+        sessionize_turns(reader, gap_seconds=gap_seconds)
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+
+
+def _sessions(spark, dirs):
+    if not os.path.exists(dirs["out"]):
+        return {}
+    df = spark.read.schema(SESSION_SCHEMA).parquet(dirs["out"])
+    return {r["conv_id"]: r for r in df.collect()}
+
+
+def test_closes_on_gap_keeps_open_conversations(spark, dirs):
+    _drop(
+        _mk(
+            spark,
+            [
+                ("A", 0, "user", "hello world", None, T0),
+                ("A", 1, "assistant", "hi", None, T0 + timedelta(seconds=30)),
+            ],
+        ),
+        dirs["drop"],
+    )
+    _drain(spark, dirs)
+    assert _sessions(spark, dirs) == {}  # nothing past A's gap yet
+
+    # a later turn advances the watermark past A's close timer; B stays open
+    _drop(
+        _mk(spark, [("B", 0, "user", "late conv", None, T0 + timedelta(hours=3))]),
+        dirs["drop"],
+    )
+    _drain(spark, dirs)
+    got = _sessions(spark, dirs)
+    assert set(got) == {"A"}
+    a = got["A"]
+    assert a["n_turns"] == 2
+    assert a["n_user_turns"] == 1
+    assert a["total_chars"] == len("hello world") + len("hi")
+    assert a["started_at"] == T0
+    assert a["last_at"] == T0 + timedelta(seconds=30)
+
+
+def test_state_accumulates_across_micro_batches(spark, dirs):
+    # conv C's turns arrive in two separate files (= two micro-batches,
+    # maxFilesPerTrigger=1); the close must see the union
+    _drop(_mk(spark, [("C", 0, "user", "part one", None, T0)]), dirs["drop"])
+    _drop(
+        _mk(
+            spark,
+            [
+                ("C", 1, "tool", None, "bash", T0 + timedelta(seconds=60)),
+                ("C", 2, "assistant", "done", None, T0 + timedelta(seconds=90)),
+            ],
+        ),
+        dirs["drop"],
+    )
+    _drop(
+        _mk(spark, [("Z", 0, "user", "sentinel", None, T0 + timedelta(hours=2))]),
+        dirs["drop"],
+    )
+    _drain(spark, dirs)
+    got = _sessions(spark, dirs)
+    assert set(got) == {"C"}
+    c = got["C"]
+    assert c["n_turns"] == 3
+    assert c["n_user_turns"] == 1
+    assert c["total_chars"] == len("part one") + 0 + len("done")  # null text = 0
+    assert c["started_at"] == T0
+    assert c["last_at"] == T0 + timedelta(seconds=90)
+
+
+def test_matches_batch_oracle(spark, dirs):
+    # 12 convs with staggered activity; sentinel fixes the watermark.
+    # Convs whose last turn is > GAP before the sentinel close; the rest
+    # (and the sentinel itself) stay open. 60 s margins keep every conv
+    # clear of the close boundary.
+    sentinel_ts = T0 + timedelta(hours=6)
+    rows = []
+    for i in range(12):
+        conv = f"c{i:02d}"
+        start = T0 + timedelta(minutes=7 * i)
+        n_turns = 2 + (i % 3)
+        for t in range(n_turns):
+            ts = start + timedelta(seconds=45 * t)
+            if i >= 9:  # last three convs: recent activity, must stay open
+                ts = sentinel_ts - timedelta(seconds=GAP - 60 - 45 * t)
+            rows.append(
+                (conv, t, "user" if t % 2 == 0 else "assistant", f"text {i} {t}", None, ts)
+            )
+    files = [rows[:10], rows[10:20], rows[20:]]
+    for chunk in files:
+        _drop(_mk(spark, chunk), dirs["drop"])
+    _drop(_mk(spark, [("zz", 0, "user", "sentinel", None, sentinel_ts)]), dirs["drop"])
+    _drain(spark, dirs)
+    got = _sessions(spark, dirs)
+
+    turns = _mk(spark, rows)
+    want = {
+        r["conv_id"]: r
+        for r in closed_sessions_batch(turns, sentinel_ts, GAP).collect()
+    }
+    assert set(got) == set(want)
+    assert set(got) == {f"c{i:02d}" for i in range(9)}
+    for conv, w in want.items():
+        g = got[conv]
+        for f in ("n_turns", "n_user_turns", "total_chars", "started_at", "last_at"):
+            assert g[f] == w[f], (conv, f)
