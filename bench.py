@@ -196,8 +196,17 @@ def main():
     }
 
     # ---- pipeline ops over the sf tables ----------------------------------
-    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb_tbl = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # the sf tables are single parquet files (one input split), so without
+    # a spread the ops' scan-stage work — tokenize/shingle/hash projections
+    # — runs on ONE task regardless of cores; a production corpus arrives
+    # in thousands of splits. Repartition once, outside the timers, so the
+    # op benches measure the operators, not the fixture's file layout.
+    docs_tbl = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS)).persist()
+    )
+    docs_tbl.count()
+    emb_tbl = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(int(CPUS)).persist()
+    emb_tbl.count()
     qv = [float(x) for x in emb_tbl.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     queries.update(
         {

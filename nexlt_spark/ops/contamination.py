@@ -41,11 +41,18 @@ def _shingle_hashes(
     """(out_id, shingle_hash) — distinct per doc, whole-stage codegen.
     Same [a-z0-9]+ tokenization as ops.textstats.tokens_col, applied to
     the caller's text column."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    # tokenize behind a projection boundary: the shingle transform's
+    # lambda re-evaluates whatever expression `toks` is per GRAM (no CSE
+    # across HOF lambda scopes), so the regex must be a materialized
+    # column, not an inline expression — measured ~8x at sf0.1
+    toked = df.select(
+        F.col(id_col).alias(out_id),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0).alias("_t"),
+    )
     return (
-        df.select(
-            F.col(id_col).alias(out_id),
-            F.array_distinct(shingles_col(toks, shingle_n)).alias("_sh"),
+        toked.select(
+            out_id,
+            F.array_distinct(shingles_col(F.col("_t"), shingle_n)).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
         .select(out_id, F.explode("_sh").alias("_s"))

@@ -54,9 +54,14 @@ def minhash_signature(
     """(id, shingles, sig: array<long> of length n_hashes)."""
     toks = tokens_col() if text_col == "text" else F.split(F.lower(F.col(text_col)), r"\s+")
     # token-less docs are excluded BEFORE shingling (a doc with zero
-    # tokens must not contribute an empty-string shingle)
-    docs = docs.where(F.size(toks) > 0)
-    sh = shingles_col(toks, shingle_n)
+    # tokens must not contribute an empty-string shingle); the tokenizer
+    # is materialized behind a projection boundary BEFORE shingling —
+    # referencing the regex expression inside the shingle transform's
+    # lambda re-evaluates it per GRAM (no CSE across HOF lambda scopes)
+    toked = docs.where(F.size(toks) > 0).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    )
+    sh = shingles_col(F.col("_toks"), shingle_n)
     def _seeded(i):
         # NB: a plain `lambda s, i=i:` would be read by pyspark as the
         # (element, index) two-arg form — the closure factory keeps arity 1
@@ -66,7 +71,7 @@ def minhash_signature(
         *[F.array_min(F.transform(F.col("_shingles"), _seeded(i))) for i in range(n_hashes)]
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), sh.alias("_shingles"))
+        toked.select("doc_id", sh.alias("_shingles"))
         .where(F.size("_shingles") > 0)
         .select("doc_id", F.col("_shingles").alias("shingles"), sig.alias("sig"))
     )
@@ -198,11 +203,14 @@ def ngram_jaccard_pairs(
     candidate pairs.
     """
     toks = tokens_col() if text_col == "text" else F.split(F.lower(F.col(text_col)), r"\s+")
+    # tokenizer materialized behind a projection boundary before the
+    # shingle transform (see minhash_signature — per-gram re-evaluation)
     base = (
         docs.where(F.size(toks) > 0)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(shingles_col(toks, shingle_n)).alias("shingles"),
+            "doc_id",
+            F.array_distinct(shingles_col(F.col("_toks"), shingle_n)).alias("shingles"),
         )
         .where(F.size("shingles") > 0)
     )
@@ -274,10 +282,28 @@ def simhash_col(tokens, hash: str = "xxh64"):
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", hash: str = "xxh64") -> DataFrame:
-    """(doc_id, simhash) over the shared tokenizer's token stream."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"), simhash_col(tokens_col(), hash).alias("simhash")
+    """(doc_id, simhash) over the shared tokenizer's token stream.
+
+    The token-hash array is materialized behind a projection boundary
+    first: simhash_col's per-bit vote folds each reference the hashes
+    array, and an inline expression would re-tokenize AND re-hash every
+    token once per bit (60-64x) — no CSE across HOF lambda scopes.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens_col(), lambda t: _token_hash(t, hash)).alias("_h"),
     )
+
+    def _vote_merge(b):
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS[hash]):
+        vote = F.aggregate(F.col("_h"), F.lit(0).cast("long"), _vote_merge(b))
+        out = out + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return hashed.select("doc_id", out.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -175,7 +175,6 @@ def repetition_scores(
     )
 
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    toks = tokens_col()
     from nexlt_spark.ops.minhash import shingles_col
 
     def _tag(n):
@@ -184,6 +183,14 @@ def repetition_scores(
         # transform form, silently binding n to the array INDEX
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
+    # tokenize ONCE behind a projection boundary: referencing tokens_col()
+    # directly inside the shingle transform's lambda re-evaluates the
+    # tokenizing regex per GRAM (no common-subexpression elimination
+    # across HOF lambda scopes — measured 10x slower at sf0.1)
+    toked = docs.select(
+        "doc_id", F.length("text").alias("text_len"), tokens_col().alias("_toks")
+    )
+    toks = F.col("_toks")
     gram_arrays = F.array(
         *[
             F.transform(
@@ -198,9 +205,9 @@ def repetition_scores(
             for n in all_ns
         ]
     )
-    grams = docs.select(
+    grams = toked.select(
         "doc_id",
-        F.length("text").alias("text_len"),
+        "text_len",
         F.explode(F.flatten(gram_arrays)).alias("g"),
     ).select("doc_id", "text_len", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     per_gram = grams.groupBy("doc_id", "text_len", "n", "gram").agg(
