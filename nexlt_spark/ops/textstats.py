@@ -147,7 +147,15 @@ def repetition_scores(
     text bodies. Ties on the top gram resolve to the larger char mass
     (count x length), then deterministically.
     """
-    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(x) > 0)
+    # the lines array is materialized behind a projection boundary: the
+    # count-of-equals scan references it inside a NESTED lambda, and an
+    # inline split+filter expression would re-run per line comparison
+    # (no CSE across HOF lambda scopes)
+    lined = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(x) > 0).alias("_lines"),
+    )
+    lines = F.col("_lines")
     n_lines = F.size(lines)
     line_counts = F.transform(
         lines, lambda x: F.size(F.filter(lines, lambda y: y == x))
@@ -161,7 +169,7 @@ def repetition_scores(
         F.lit(0),
         lambda a, x: a + x,
     )
-    line_sig = docs.select(
+    line_sig = lined.select(
         "doc_id",
         F.round(
             F.when(n_lines == 0, F.lit(0.0)).otherwise(dup_lines.cast("double") / n_lines), 6
