@@ -160,8 +160,9 @@ def boilerplate_lines(
     8-byte keys, never line text; the per-doc ``distinct`` runs BEFORE
     the exchange (a doc repeating its own line 100x contributes 1), and
     the count is a plain ``count`` after it — no countDistinct shuffle of
-    (key, doc) pairs on top. The survivor set is small by construction
-    (only lines shared across ≥ min_doc_freq docs), broadcastable into
+    (key, doc) pairs on top. The survivor set is much smaller than the
+    corpus (only lines shared across ≥ min_doc_freq docs) but not
+    bounded — join strategy against it is size-based, see
     `strip_boilerplate_lines`.
     """
     return (
@@ -187,12 +188,17 @@ def strip_boilerplate_lines(
     preserving the original line order; all non-text columns pass
     through, and a doc that was ALL boilerplate survives with ''.
 
-    Two exchanges total: the boilerplate-set groupBy (8-byte keys) and
-    the per-doc reassembly groupBy — the only stage that moves line
-    text, keyed by doc_id with the original position carried so
-    ``sort_array`` restores order without a global sort. The anti-join
-    against the boilerplate set is a broadcast (the set is small by
-    construction; Spark's AQE will pick BHJ from its size).
+    Exchanges over corpus-scale data: the per-doc distinct inside
+    ``boilerplate_lines``, its line-hash groupBy (both over 8-byte
+    keys), and the per-doc reassembly groupBy — the only stage that
+    moves line text, keyed by doc_id with the original position carried
+    so ``sort_array`` restores order without a global sort. The
+    anti-join's build side is left to AQE: a fixture-scale set
+    broadcasts, but the set is NOT bounded by construction (a web-scale
+    corpus has billions of lines shared by ≥ min_doc_freq docs), so
+    forcing a broadcast here would OOM exactly where the op matters —
+    past the threshold AQE falls back to a shuffled anti-join on the
+    8-byte hash.
     """
     bp = boilerplate_lines(docs, min_doc_freq, text_col)
     lines = docs.select(
@@ -200,7 +206,7 @@ def strip_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     kept = lines.join(
-        F.broadcast(bp.select("line_hash")),
+        bp.select("line_hash"),
         F.xxhash64(F.col("line")) == F.col("line_hash"),
         "left_anti",
     )

@@ -259,15 +259,21 @@ def _token_hash(t, hash: str):
     return F.xxhash64(t)
 
 
-def simhash_col(tokens, hash: str = "xxh64"):
-    """SimHash of a tokens array Column, as a long (64 bits for xxh64,
-    60 for md5_60).
+def simhash_col(hashes, hash: str = "xxh64"):
+    """SimHash over a PRE-MATERIALIZED token-hash array Column, as a long
+    (64 bits for xxh64, 60 for md5_60).
 
     bit b of simhash = 1 iff Σ_tokens (2*((h(tok)>>b)&1) - 1) > 0.
-    Pure JVM expression: one hash per token, one array-fold vote per
-    bit. Ties (vote sum 0) resolve to 0, deterministically.
+    Pure JVM expression: one array-fold vote per bit. Ties (vote sum 0)
+    resolve to 0, deterministically.
+
+    ``hashes`` must be a cheap Column reference (an aliased column from a
+    prior projection, as simhash_signatures does), NOT an inline
+    transform over the tokenizer: each of the 60-64 per-bit folds
+    references it, and Spark performs no CSE across HOF lambda scopes —
+    an inline expression would re-tokenize and re-hash every token once
+    per bit.
     """
-    hashes = F.transform(tokens, lambda t: _token_hash(t, hash))
 
     def _vote_merge(b):
         return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -282,27 +288,12 @@ def simhash_col(tokens, hash: str = "xxh64"):
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", hash: str = "xxh64") -> DataFrame:
-    """(doc_id, simhash) over the shared tokenizer's token stream.
-
-    The token-hash array is materialized behind a projection boundary
-    first: simhash_col's per-bit vote folds each reference the hashes
-    array, and an inline expression would re-tokenize AND re-hash every
-    token once per bit (60-64x) — no CSE across HOF lambda scopes.
-    """
+    """(doc_id, simhash) over the shared tokenizer's token stream."""
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokens_col(), lambda t: _token_hash(t, hash)).alias("_h"),
     )
-
-    def _vote_merge(b):
-        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    out = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS[hash]):
-        vote = F.aggregate(F.col("_h"), F.lit(0).cast("long"), _vote_merge(b))
-        out = out + F.when(
-            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
+    out = simhash_col(F.col("_h"), hash)
     return hashed.select("doc_id", out.alias("simhash"))
 
 

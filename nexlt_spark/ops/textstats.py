@@ -153,7 +153,10 @@ def repetition_scores(
     # (no CSE across HOF lambda scopes)
     lined = docs.select(
         "doc_id",
-        F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(x) > 0).alias("_lines"),
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+            lambda x: F.length(x) > 0,
+        ).alias("_lines"),
     )
     lines = F.col("_lines")
     n_lines = F.size(lines)
@@ -222,25 +225,37 @@ def repetition_scores(
         F.count(F.lit(1)).alias("cnt")
     )
     mass = F.col("cnt") * F.length("gram")
-    # one groupBy(doc_id) folds every (n, top/dup) cell via conditional
-    # aggregation — no intermediate per-(doc, n) shuffle, and its doc_id
-    # partitioning is reused by the join below (one exchange, not two)
-    frac = lambda m: F.round(F.least(m.cast("double") / F.col("text_len"), F.lit(1.0)), 6)
-    wide = per_gram.groupBy("doc_id", "text_len").agg(
+    # one groupBy on doc_id ALONE, so its hash partitioning satisfies
+    # the doc_id join below (no re-exchange of this side; text_len is
+    # functionally dependent, carried with first()). Top gram = the
+    # MOST FREQUENT n-gram (the Gopher statistic), ties on count
+    # resolved to the larger char mass via a (cnt, mass) ordering
+    # struct — not max(mass), which would let a rarer-but-longer gram
+    # win over the most frequent one.
+    raw = per_gram.groupBy("doc_id").agg(
+        F.first("text_len").alias("_tl"),
         *[
-            frac(
-                F.coalesce(F.max(F.when(F.col("n") == n, mass)), F.lit(0))
-            ).alias(f"top_{n}gram_char_frac")
+            F.max_by(
+                mass, F.when(F.col("n") == n, F.struct(F.col("cnt"), mass.alias("m")))
+            ).alias(f"_top_{n}")
             for n in top_ns
         ],
         *[
-            frac(
-                F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), mass).otherwise(F.lit(0)))
-            ).alias(f"dup_{n}gram_char_frac")
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("cnt") > 1), mass).otherwise(F.lit(0))
+            ).alias(f"_dup_{n}")
             for n in dup_ns
         ],
     )
-    out = line_sig.join(wide.drop("text_len"), "doc_id", "left")
+    frac = lambda c: F.round(
+        F.least(F.coalesce(c, F.lit(0)).cast("double") / F.col("_tl"), F.lit(1.0)), 6
+    )
+    wide = raw.select(
+        "doc_id",
+        *[frac(F.col(f"_top_{n}")).alias(f"top_{n}gram_char_frac") for n in top_ns],
+        *[frac(F.col(f"_dup_{n}")).alias(f"dup_{n}gram_char_frac") for n in dup_ns],
+    )
+    out = line_sig.join(wide, "doc_id", "left")
     fills = {f"top_{n}gram_char_frac": 0.0 for n in top_ns}
     fills.update({f"dup_{n}gram_char_frac": 0.0 for n in dup_ns})
     return out.fillna(fills)

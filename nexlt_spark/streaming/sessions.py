@@ -55,8 +55,19 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _ms(ts) -> int:
-    return int(pd.Timestamp(ts).value // 1_000_000)
+def _ms(ts, tz: str) -> int:
+    """Epoch-ms of a tz-naive pandas timestamp that Arrow rendered in the
+    SESSION timezone — it must be localized there before conversion, or
+    every timer is offset by the zone offset (hours-early timeouts throw
+    'timestamp cannot be earlier than the current watermark'; hours-late
+    ones silently delay closes)."""
+    return int(pd.Timestamp(ts).tz_localize(tz).value // 1_000_000)
+
+
+def _from_ms(ms: int, tz: str) -> pd.Timestamp:
+    """Inverse of _ms: a naive timestamp rendered in the session
+    timezone, which is how Spark reinterprets returned naive values."""
+    return pd.Timestamp(ms, unit="ms", tz="UTC").tz_convert(tz).tz_localize(None)
 
 
 def sessionize_turns(
@@ -76,6 +87,9 @@ def sessionize_turns(
     streaming-only); the batch oracle is a plain groupBy — equivalence
     is asserted in tests/test_sessionize.py.
     """
+    # captured driver-side and closed over: workers see tz-naive pandas
+    # timestamps rendered in THIS zone (see _ms/_from_ms)
+    session_tz = turns.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def close_or_update(
         key: Tuple[str],
@@ -91,8 +105,8 @@ def sessionize_turns(
                     "n_turns": [n],
                     "n_user_turns": [nu],
                     "total_chars": [ch],
-                    "started_at": [pd.Timestamp(fm, unit="ms")],
-                    "last_at": [pd.Timestamp(lm, unit="ms")],
+                    "started_at": [_from_ms(fm, session_tz)],
+                    "last_at": [_from_ms(lm, session_tz)],
                 }
             )
             return
@@ -106,8 +120,8 @@ def sessionize_turns(
             n += len(pdf)
             nu += int((pdf["role"] == "user").sum())
             ch += int(pdf["text"].fillna("").str.len().sum())
-            batch_first = _ms(pdf["ts"].min())
-            batch_last = _ms(pdf["ts"].max())
+            batch_first = _ms(pdf["ts"].min(), session_tz)
+            batch_last = _ms(pdf["ts"].max(), session_tz)
             fm = batch_first if fm is None else min(fm, batch_first)
             lm = batch_last if lm is None else max(lm, batch_last)
         state.update((n, nu, ch, fm, lm))
@@ -132,9 +146,13 @@ def sessionize_turns(
 
 
 def closed_sessions_batch(turns: DataFrame, as_of, gap_seconds: int = 1800) -> DataFrame:
-    """The batch oracle: conversations whose last turn is at least
-    ``gap_seconds`` before ``as_of`` (a timestamp), aggregated exactly
-    as the streaming operator aggregates them."""
+    """The batch oracle: conversations whose last turn is more than
+    ``gap_seconds`` before ``as_of`` (a timestamp standing in for the
+    watermark), aggregated exactly as the streaming operator aggregates
+    them. STRICT inequality, matching the streaming side: an event-time
+    timer fires only when the watermark strictly exceeds the timeout
+    timestamp, so a conversation whose last turn is exactly
+    ``gap_seconds`` old is still OPEN in both forms."""
     from pyspark.sql import functions as F
 
     return (
@@ -146,5 +164,5 @@ def closed_sessions_batch(turns: DataFrame, as_of, gap_seconds: int = 1800) -> D
             F.min("ts").alias("started_at"),
             F.max("ts").alias("last_at"),
         )
-        .where(F.col("last_at") + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS") <= F.lit(as_of))
+        .where(F.col("last_at") + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS") < F.lit(as_of))
     )

@@ -43,7 +43,11 @@ def _oracle(text, top_ns=(2, 3), dup_ns=(5,)):
     toks = _tokens(text)
     for n in top_ns:
         g = Counter(_grams(toks, n))
-        mass = max((c * len(s) for s, c in g.items()), default=0)
+        # the MOST FREQUENT gram's char mass (ties -> larger mass), per
+        # the Gopher statistic — not the max mass over all grams
+        mass = (
+            max((c, c * len(s)) for s, c in g.items())[1] if g else 0
+        )
         out[f"top_{n}gram_char_frac"] = min(mass / len(text), 1.0) if text else 0.0
     for n in dup_ns:
         g = Counter(_grams(toks, n))
@@ -61,7 +65,22 @@ CASES = [
     "short",
     "one\n\ntwo\n\none",  # empty lines are ignored by the line signals
     "x y x y x y x y x y x y",  # dominated by one bigram
+    # most-frequent-vs-biggest-mass discriminator: "x y" occurs 3x
+    # (mass 9) while the rarer "aaaaaaaa bbbbbbbb" occurs 2x (mass 34);
+    # the Gopher top-2gram statistic must report the frequent one's mass
+    "x y x y x y aaaaaaaa bbbbbbbb c aaaaaaaa bbbbbbbb d",
 ]
+
+
+def test_null_text_yields_zeros_not_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b a b a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    for c in rows[0].asDict():
+        if c != "doc_id":
+            assert rows[0][c] == 0.0, c  # zeros, not NULLs
+    assert rows[1]["top_2gram_char_frac"] > 0
 
 
 def test_repetition_matches_oracle(spark):

@@ -93,6 +93,38 @@ def test_closes_on_gap_keeps_open_conversations(spark, dirs):
     assert a["last_at"] == T0 + timedelta(seconds=30)
 
 
+def test_non_utc_session_timezone(spark, dirs):
+    # the timers must be correct when Arrow renders the session-local
+    # naive timestamps in a non-UTC zone (regression: _ms used to
+    # reinterpret them as UTC, offsetting every timeout by the zone
+    # offset — west-of-UTC zones threw 'timestamp cannot be earlier
+    # than the current watermark')
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        _drop(
+            _mk(
+                spark,
+                [
+                    ("A", 0, "user", "hello", None, T0),
+                    ("A", 1, "assistant", "hi", None, T0 + timedelta(seconds=30)),
+                ],
+            ),
+            dirs["drop"],
+        )
+        _drop(
+            _mk(spark, [("B", 0, "user", "late", None, T0 + timedelta(hours=3))]),
+            dirs["drop"],
+        )
+        _drain(spark, dirs)
+        got = _sessions(spark, dirs)
+        assert set(got) == {"A"}
+        assert got["A"]["started_at"] == T0
+        assert got["A"]["last_at"] == T0 + timedelta(seconds=30)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_state_accumulates_across_micro_batches(spark, dirs):
     # conv C's turns arrive in two separate files (= two micro-batches,
     # maxFilesPerTrigger=1); the close must see the union
