@@ -101,3 +101,52 @@ def collect_multivalued(df: DataFrame, key: str, value: str, out_col: str) -> Da
     return df.groupBy(key).agg(
         F.concat_ws(",", F.sort_array(F.collect_set(F.col(value)))).alias(out_col)
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrub)
+# --------------------------------------------------------------------------
+
+# Conservative, documented patterns — high precision over recall (the
+# standard trade for corpus scrubbing: a missed rare formatting beats
+# mangling code/numeric data with aggressive phone/ID regexes). All are
+# Java regex (JVM-side regexp_replace/regexp_extract_all, no UDF).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # dotted quad with 1-3 digit octets; \b guards keep version strings
+    # like 1.2.3.4000 from matching
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # international-format numbers only (+ then 7-14 more digits, up to
+    # two separator chars between digits, e.g. ") 1") — bare local
+    # formats collide with ordinary numerics far too often to scrub
+    # blindly
+    "phone": r"\+\d(?:[\s().\-]{0,2}\d){6,13}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: Sequence[str] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Replace each PII match with ``<KIND>`` and count what was hit:
+    the input columns pass through with ``text_col`` rewritten, plus one
+    ``n_<kind>`` count column per requested kind.
+
+    One row-local projection — counts via ``regexp_extract_all`` sizes,
+    rewrite via chained ``regexp_replace`` — all JVM regex inside a
+    single codegen stage: no UDF, no shuffle, scales as a map-only pass.
+    """
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; have {sorted(PII_PATTERNS)}")
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(src, F.lit(PII_PATTERNS[k]), 0)).alias(f"n_{k}")
+        for k in kinds
+    ]
+    scrubbed = src
+    for k in kinds:
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[k], f"<{k.upper()}>")
+    passthrough = [c for c in docs.columns if c != text_col]
+    return docs.select(*passthrough, scrubbed.alias(text_col), *counts)
