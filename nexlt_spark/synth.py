@@ -88,6 +88,13 @@ def synth_transcripts(
     cdf = _zipf_cdf(len(vocab))
 
     def gen(batches):
+        # int64 wraparound IS the hash mixing here (deterministic on every
+        # platform numpy supports) — errstate only silences the overflow
+        # warning; it does not change a single generated value
+        with np.errstate(over="ignore"):
+            yield from _gen_inner(batches)
+
+    def _gen_inner(batches):
         for pdf in batches:
             out = []
             for conv in pdf["id"].to_numpy():
