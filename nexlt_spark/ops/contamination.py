@@ -38,9 +38,17 @@ from nexlt_spark.ops.minhash import shingles_col
 def _shingle_hashes(
     df: DataFrame, out_id: str, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """(out_id, shingle_hash) — distinct per doc, whole-stage codegen.
-    Same [a-z0-9]+ tokenization as ops.textstats.tokens_col, applied to
-    the caller's text column."""
+    """(out_id, n_shingles, shingle_hash) — distinct per doc, whole-stage
+    codegen. Same [a-z0-9]+ tokenization as ops.textstats.tokens_col,
+    applied to the caller's text column.
+
+    ``n_shingles`` (the doc's distinct-shingle count) is computed
+    ROW-LOCALLY — size of the distinct array before the explode — and
+    carried on every shingle row. The alternative, a separate
+    groupBy(id).count() over the exploded stream plus a join back, would
+    re-shuffle the entire corpus once per call just to recover a number
+    each row already knows; at 10^12 turns that aggregation IS the job.
+    """
     # tokenize behind a projection boundary: the shingle transform's
     # lambda re-evaluates whatever expression `toks` is per GRAM (no CSE
     # across HOF lambda scopes), so the regex must be a materialized
@@ -55,8 +63,8 @@ def _shingle_hashes(
             F.array_distinct(shingles_col(F.col("_t"), shingle_n)).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
-        .select(out_id, F.explode("_sh").alias("_s"))
-        .select(out_id, F.xxhash64("_s").alias("shingle_hash"))
+        .select(out_id, F.size("_sh").alias("n_shingles"), F.explode("_sh").alias("_s"))
+        .select(out_id, "n_shingles", F.xxhash64("_s").alias("shingle_hash"))
     )
 
 
@@ -81,23 +89,27 @@ def ngram_contamination(
     """
     c = _shingle_hashes(corpus, "doc_id", id_col, text_col, shingle_n)
     b = _shingle_hashes(benchmark, "bench_id", bench_id_col, bench_text_col, shingle_n)
-    b_sizes = b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_shingles"))
-    c_sizes = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_shingles"))
-    hits = (
-        c.join(F.broadcast(b), "shingle_hash")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .where(F.col("n_hits") >= min_hits)
-    )
+    # per-side sizes ride on the shingle rows (see _shingle_hashes), so
+    # the ONLY shuffle in the whole plan is the groupBy over join
+    # survivors — bounded by actual contamination, never by corpus size
     return (
-        hits.join(c_sizes, "doc_id")
-        .join(F.broadcast(b_sizes), "bench_id")
+        c.join(
+            F.broadcast(b.withColumnRenamed("n_shingles", "bench_shingles")),
+            "shingle_hash",
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.first("n_shingles").alias("doc_shingles"),
+            F.first("bench_shingles").alias("_bs"),
+        )
+        .where(F.col("n_hits") >= min_hits)
         .select(
             "doc_id",
             "bench_id",
             "n_hits",
             "doc_shingles",
-            (F.col("n_hits") / F.col("bench_shingles")).alias("overlap_frac"),
+            (F.col("n_hits") / F.col("_bs")).alias("overlap_frac"),
         )
     )
 

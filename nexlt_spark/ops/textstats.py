@@ -117,10 +117,77 @@ def language_id(docs: DataFrame, languages=None, min_hits: int = 1) -> DataFrame
 # Repetition signals (Gopher-style quality rules)
 # --------------------------------------------------------------------------
 
+def _gram_run_stats(grams_sorted):
+    """Fold a SORTED array of gram strings into struct(bc, bm, dm):
+
+    - ``bc``/``bm``: count and char mass (count x gram length) of the top
+      gram — most frequent first, ties broken by larger mass (the same
+      (cnt, mass) ordering the shuffle path's max_by uses);
+    - ``dm``: total char mass of grams occurring more than once.
+
+    Sorting groups equal grams into adjacent runs, so one linear
+    F.aggregate pass computes all three — entirely row-local (a doc's
+    grams never leave its row), the shape that makes the whole repetition
+    operator a map-only job at 10^12 turns. Exact string comparison, no
+    hashing: two distinct grams can never merge.
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("pg"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("bc"),
+        F.lit(0).cast("bigint").alias("bm"),
+        F.lit(0).cast("bigint").alias("dm"),
+    )
+
+    def _finalize(acc):
+        # close the run held in acc: fold it into best/dup accumulators
+        mass = acc["run"].cast("bigint") * F.coalesce(
+            F.length(acc["pg"]).cast("bigint"), F.lit(0)
+        )
+        better = (acc["run"] > acc["bc"]) | (
+            (acc["run"] == acc["bc"]) & (mass > acc["bm"])
+        )
+        return (
+            F.when(better, acc["run"]).otherwise(acc["bc"]),
+            F.when(better, mass).otherwise(acc["bm"]),
+            acc["dm"]
+            + F.when(acc["run"] > 1, mass).otherwise(F.lit(0).cast("bigint")),
+        )
+
+    def step(acc, g):
+        same = acc["pg"].isNotNull() & (g == acc["pg"])
+        bc, bm, dm = _finalize(acc)
+        return F.when(
+            same,
+            F.struct(
+                acc["pg"].alias("pg"),
+                (acc["run"] + 1).alias("run"),
+                acc["bc"].alias("bc"),
+                acc["bm"].alias("bm"),
+                acc["dm"].alias("dm"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("pg"),
+                F.lit(1).alias("run"),
+                bc.alias("bc"),
+                bm.alias("bm"),
+                dm.alias("dm"),
+            )
+        )
+
+    def finish(acc):
+        bc, bm, dm = _finalize(acc)
+        return F.struct(bc.alias("bc"), bm.alias("bm"), dm.alias("dm"))
+
+    return F.aggregate(grams_sorted, zero, step, finish)
+
+
 def repetition_scores(
     docs: DataFrame,
     top_ns: tuple = (2, 3),
     dup_ns: tuple = (5,),
+    impl: str = "local",
 ) -> DataFrame:
     """Per-doc repetition signals, the Gopher report's "repetitious text"
     quality rules (Rae et al. 2021 §A1.1) — the standard pre-filter that
@@ -137,56 +204,111 @@ def repetition_scores(
     - ``dup_{n}gram_char_frac`` for n in ``dup_ns``: character mass of
       ALL token n-grams occurring more than once.
 
-    Scale shape: line signals are row-local higher-order Column functions
-    (zero shuffle — a doc's lines never leave its row; the per-row
+    Scale shape (``impl="local"``, the default): every signal is
+    row-local — a doc's lines and grams never leave its row, so the whole
+    operator is a MAP-ONLY job (zero shuffle, zero joins) at any corpus
+    size. Line signals are higher-order Column functions (the per-row
     count-of-equals scan is O(L^2) on L = lines per doc, tens not
-    thousands). N-gram signals need cross-row state only per (doc, gram),
-    so all requested n's are emitted through ONE posexplode and ONE
-    groupBy(doc_id, n, gram) with map-side partial aggregation — the
-    shuffle key is well-spread by construction and carries counts, never
-    text bodies. Ties on the top gram resolve to the larger char mass
-    (count x length), then deterministically.
+    thousands); gram signals sort each doc's n-gram array and fold the
+    adjacent runs in one linear F.aggregate pass (``_gram_run_stats`` —
+    O(G log G) per doc on G = tokens per doc). Ties on the top gram
+    resolve to the larger char mass (count x length), exactly as the
+    shuffle path's (cnt, mass) max_by ordering.
+
+    ``impl="shuffle"`` keeps the explode + groupBy(doc_id, n, gram)
+    formulation (cross-row state per (doc, gram), map-side partial
+    aggregation) as the independent reference implementation — the two
+    are asserted identical in tests/test_quality_repetition.py.
     """
     # the lines array is materialized behind a projection boundary: the
     # count-of-equals scan references it inside a NESTED lambda, and an
     # inline split+filter expression would re-run per line comparison
     # (no CSE across HOF lambda scopes)
-    lined = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
-            lambda x: F.length(x) > 0,
-        ).alias("_lines"),
+    lines_expr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+        lambda x: F.length(x) > 0,
     )
-    lines = F.col("_lines")
-    n_lines = F.size(lines)
-    line_counts = F.transform(
-        lines, lambda x: F.size(F.filter(lines, lambda y: y == x))
-    )
-    dup_mask = F.transform(line_counts, lambda c: (c > 1).cast("int"))
-    dup_lines = F.aggregate(dup_mask, F.lit(0), lambda a, x: a + x)
-    line_chars = F.transform(lines, lambda x: F.length(x))
-    total_line_chars = F.aggregate(line_chars, F.lit(0), lambda a, x: a + x)
-    dup_line_chars = F.aggregate(
-        F.zip_with(line_chars, dup_mask, lambda c, m: c * m),
-        F.lit(0),
-        lambda a, x: a + x,
-    )
-    line_sig = lined.select(
-        "doc_id",
-        F.round(
-            F.when(n_lines == 0, F.lit(0.0)).otherwise(dup_lines.cast("double") / n_lines), 6
-        ).alias("dup_line_frac"),
-        F.round(
-            F.when(total_line_chars == 0, F.lit(0.0)).otherwise(
-                dup_line_chars.cast("double") / total_line_chars
-            ),
-            6,
-        ).alias("dup_line_char_frac"),
-    )
+
+    def _line_sig_cols():
+        lines = F.col("_lines")
+        n_lines = F.size(lines)
+        line_counts = F.transform(
+            lines, lambda x: F.size(F.filter(lines, lambda y: y == x))
+        )
+        dup_mask = F.transform(line_counts, lambda c: (c > 1).cast("int"))
+        dup_lines = F.aggregate(dup_mask, F.lit(0), lambda a, x: a + x)
+        line_chars = F.transform(lines, lambda x: F.length(x))
+        total_line_chars = F.aggregate(line_chars, F.lit(0), lambda a, x: a + x)
+        dup_line_chars = F.aggregate(
+            F.zip_with(line_chars, dup_mask, lambda c, m: c * m),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        return [
+            F.round(
+                F.when(n_lines == 0, F.lit(0.0)).otherwise(
+                    dup_lines.cast("double") / n_lines
+                ),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(total_line_chars == 0, F.lit(0.0)).otherwise(
+                    dup_line_chars.cast("double") / total_line_chars
+                ),
+                6,
+            ).alias("dup_line_char_frac"),
+        ]
 
     all_ns = sorted(set(top_ns) | set(dup_ns))
     from nexlt_spark.ops.minhash import shingles_col
+
+    if impl == "local":
+        # map-only: three chained narrow projections, one stage, no
+        # exchange anywhere in the plan
+        toks = F.col("_toks")
+        base = docs.select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("text_len"),
+            lines_expr.alias("_lines"),
+            tokens_col().alias("_toks"),
+        )
+        statted = base.select(
+            "doc_id",
+            "text_len",
+            *_line_sig_cols(),
+            *[
+                _gram_run_stats(
+                    F.array_sort(
+                        # a doc shorter than n tokens has NO n-grams (no
+                        # whole-doc shingle fallback — whole-doc repetition
+                        # is the line signal's job)
+                        F.when(F.size(toks) >= n, shingles_col(toks, n)).otherwise(
+                            F.array().cast("array<string>")
+                        )
+                    )
+                ).alias(f"_st_{n}")
+                for n in all_ns
+            ],
+        )
+        frac = lambda c: F.when(F.col("text_len") == 0, F.lit(0.0)).otherwise(
+            F.round(F.least(c.cast("double") / F.col("text_len"), F.lit(1.0)), 6)
+        )
+        return statted.select(
+            "doc_id",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            *[
+                frac(F.col(f"_st_{n}")["bm"]).alias(f"top_{n}gram_char_frac")
+                for n in top_ns
+            ],
+            *[
+                frac(F.col(f"_st_{n}")["dm"]).alias(f"dup_{n}gram_char_frac")
+                for n in dup_ns
+            ],
+        )
+
+    lined = docs.select("doc_id", lines_expr.alias("_lines"))
+    line_sig = lined.select("doc_id", *_line_sig_cols())
 
     def _tag(n):
         # NB: must be a UNARY lambda built in a factory — `lambda g, n=n:`

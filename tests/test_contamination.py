@@ -113,3 +113,8 @@ def test_plan_broadcasts_benchmark_no_shuffle_on_shingle(spark, corpus, bench_it
     plan = ngram_contamination(corpus, bench_items, shingle_n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+    # exactly ONE shuffle in the whole plan: the groupBy over join
+    # survivors. The per-side shingle counts ride the exploded rows
+    # (computed row-locally pre-explode), so there is no corpus-wide
+    # sizes aggregation and no corpus-sized join back.
+    assert plan.count("Exchange hashpartitioning") == 1, plan

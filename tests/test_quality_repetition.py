@@ -106,6 +106,37 @@ def test_repetition_on_real_corpus(spark, sf_dir):
             assert r[k] == pytest.approx(v, abs=1e-6), (r["doc_id"], k)
 
 
+def test_local_impl_identical_to_shuffle_impl(spark, sf_dir):
+    """The map-only sorted-run-scan path (default) and the explode +
+    groupBy reference path must agree exactly — synthetic discriminator
+    cases AND a real-corpus sample, including non-default n's where one
+    n serves both a top_ and a dup_ signal."""
+    synth = spark.createDataFrame(list(enumerate(CASES)), "doc_id long, text string")
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    for df in (synth, real):
+        for kw in ({}, {"top_ns": (2, 4), "dup_ns": (2, 6)}):
+            loc = {
+                r["doc_id"]: r.asDict()
+                for r in repetition_scores(df, impl="local", **kw).collect()
+            }
+            shuf = {
+                r["doc_id"]: r.asDict()
+                for r in repetition_scores(df, impl="shuffle", **kw).collect()
+            }
+            assert set(loc) == set(shuf)
+            for d, row in loc.items():
+                for k, v in row.items():
+                    assert v == pytest.approx(shuf[d][k], abs=1e-9), (d, k)
+
+
+def test_local_impl_plan_is_map_only(spark):
+    """The default path must contain NO exchange: every signal is
+    row-local, so the operator scales as a pure map job at 10^12 turns."""
+    df = spark.createDataFrame(list(enumerate(CASES)), "doc_id long, text string")
+    plan = repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_repetition_bounds_and_custom_ns(spark):
     df = spark.createDataFrame(
         list(enumerate(CASES)), "doc_id long, text string"
