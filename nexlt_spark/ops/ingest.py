@@ -136,17 +136,22 @@ def redact_pii(
     One row-local projection — counts via ``regexp_extract_all`` sizes,
     rewrite via chained ``regexp_replace`` — all JVM regex inside a
     single codegen stage: no UDF, no shuffle, scales as a map-only pass.
+
+    Each kind's count is taken on the text AFTER the earlier kinds'
+    rewrites (the same sequential pass the rewrite chain applies), so
+    ``n_<kind>`` always equals the number of ``<KIND>`` placeholders
+    emitted — a match swallowed by an earlier kind (a ``+…`` phone
+    inside an email local part) is counted once, as that earlier kind.
     """
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
         raise ValueError(f"unknown PII kinds {unknown}; have {sorted(PII_PATTERNS)}")
-    src = F.coalesce(F.col(text_col), F.lit(""))
-    counts = [
-        F.size(F.regexp_extract_all(src, F.lit(PII_PATTERNS[k]), 0)).alias(f"n_{k}")
-        for k in kinds
-    ]
-    scrubbed = src
+    scrubbed = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
     for k in kinds:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(PII_PATTERNS[k]), 0)).alias(f"n_{k}")
+        )
         scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[k], f"<{k.upper()}>")
     passthrough = [c for c in docs.columns if c != text_col]
     return docs.select(*passthrough, scrubbed.alias(text_col), *counts)

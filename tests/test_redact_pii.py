@@ -19,6 +19,10 @@ CASES = [
     # precision probes — none of these may be redacted:
     (6, "version 1.2.3.4000 released; pi is 3.14159; x@ alone", "en"),
     (7, "totals were 12345678901 units in 2024", "en"),  # bare digits ≠ phone
+    # overlap discriminator: the email consumes the leading '+', so the
+    # phone pattern must see the already-scrubbed text and count 0 —
+    # counts always equal emitted placeholders (sequential semantics)
+    (8, "reach +12345678901@relay.sms.com today", "en"),
 ]
 
 
@@ -60,6 +64,9 @@ def test_specific_redactions(spark):
     assert got[7]["text"] == CASES[7][1]
     assert got[5]["text"] == ""  # null text -> empty, zero counts
     assert got[5]["n_email"] == 0
+    # the swallowed phone is counted as the email that consumed it
+    assert got[8]["text"] == "reach <EMAIL> today"
+    assert got[8]["n_email"] == 1 and got[8]["n_phone"] == 0
 
 
 def test_kind_subset_and_unknown(spark):
