@@ -21,7 +21,7 @@ see nexlt_spark.scoring for why (rank-identity across runtimes).
 from __future__ import annotations
 
 from itertools import chain
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -370,12 +370,22 @@ def paginate(df: DataFrame, sort_cols, start: int, k: int) -> DataFrame:
     )
 
 
-def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame:
+def ranked_scores(
+    index: InvertedIndex,
+    documents: DataFrame,
+    q: Query,
+    unlimited_ranges: bool = False,
+) -> DataFrame:
     """(doc_id, score) of every match of a relevance query — the shared
     rank-phase dispatch behind bm25_topk / search / cache.cached_topk:
     picks the fused per-range phrase plan, the one-pass phrase plan, or
     the postings fold; applies fq / existence / NOT. Unpaginated (callers
-    paginate with the canonical score-desc doc_id-asc order)."""
+    paginate with the canonical score-desc doc_id-asc order).
+
+    unlimited_ranges=True disables the ranged kernels' per-range
+    top-(start+k) truncation — required by callers that page PAST the
+    first start+k rows (cursorMark keyset paging), where the truncation
+    is no longer global-order-preserving."""
     an = getattr(index, "analyzer", "standard")
     terms = analyze_terms(q.terms, an)
     if q.phrase:
@@ -399,7 +409,7 @@ def ranked_scores(index: InvertedIndex, documents: DataFrame, q: Query) -> DataF
         doc_filter = filter_documents(documents, q.filters, q.exists).select("doc_id")
     # per-range kernels may truncate each range to its top-(start+k) rows
     # (global-order-preserving) when no NOT-clause removes rows afterwards
-    prl = (q.start + q.k) if not q.not_terms else None
+    prl = (q.start + q.k) if not (q.not_terms or unlimited_ranges) else None
     if (
         q.phrase
         and getattr(index, "has_positions", False)
@@ -494,6 +504,43 @@ def search(index: InvertedIndex, documents: DataFrame, q: Query):
     return out
 
 
+def sorted_matches(
+    index: InvertedIndex, documents: DataFrame, q: Query
+) -> Tuple[DataFrame, List[Tuple[str, str]]]:
+    """Match set of a SORTED (non-relevance) query plus its effective
+    TOTAL sort spec — q.sort with the reference's text_lc tiebreak
+    (solrTestLib_v2.js:83-96) and a final unique doc_id asc appended, so
+    the order admits deterministic offset pagination (run_query) and
+    keyset cursor pagination (query.cursor / select_cursor) alike."""
+    an = getattr(index, "analyzer", "standard")
+    base = filter_documents(documents, q.filters, q.exists)
+    if q.not_terms:
+        excl = prohibited_docs(index, q.not_terms, an)
+        if excl is not None:
+            base = base.join(excl, "doc_id", "left_anti")
+    if "text_lc" not in base.columns:
+        base = base.withColumn("text_lc", F.lower(F.col("text")))
+    if q.terms:
+        terms = analyze_terms(q.terms, an)
+        scored = score_postings(index, terms, q.mode, base.select("doc_id"))
+        base = base.join(scored.select("doc_id"), "doc_id", "left_semi")
+    if q.phrase:
+        base = base.join(
+            phrase_docs(
+                index, documents, tokenize(q.phrase, an), an,
+                base.select("doc_id"), slop=q.phrase_slop,
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    spec = [(c, d) for c, d in (q.sort or [])]
+    if not any(c == "text_lc" for c, _ in spec):
+        spec.append(("text_lc", "asc"))
+    if not any(c == "doc_id" for c, _ in spec):
+        spec.append(("doc_id", "asc"))
+    return base, spec
+
+
 def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame:
     """Dispatch over the full query surface (SURVEY.md §2.7)."""
     spark = documents.sparkSession
@@ -517,26 +564,8 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
     # srclc asc as final tiebreak (solrTestLib_v2.js:83-96); we append
     # doc_id asc for total determinism.
     if q.sort:
-        base = _not(filter_documents(documents, q.filters, q.exists))
-        if "text_lc" not in base.columns:
-            base = base.withColumn("text_lc", F.lower(F.col("text")))
-        if q.terms:
-            terms = analyze_terms(q.terms, an)
-            scored = score_postings(index, terms, q.mode, base.select("doc_id"))
-            base = base.join(scored.select("doc_id"), "doc_id", "left_semi")
-        if q.phrase:
-            base = base.join(
-                phrase_docs(
-                    index, documents, tokenize(q.phrase, an), an,
-                    base.select("doc_id"), slop=q.phrase_slop,
-                ),
-                "doc_id",
-                "left_semi",
-            )
-        cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in q.sort]
-        if not any(c == "text_lc" for c, _ in q.sort):
-            cols.append(F.col("text_lc").asc())
-        cols.append(F.col("doc_id").asc())
+        base, spec = sorted_matches(index, documents, q)
+        cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in spec]
         fl = q.fl or [c for c in base.columns]
         return paginate(base, cols, q.start, q.k).select(*fl)
 

@@ -367,6 +367,91 @@ def select(
     return resp
 
 
+def select_cursor(
+    index,
+    documents: DataFrame,
+    q: str = "*:*",
+    fq: Sequence[str] = (),
+    rows: int = 10,
+    sort: Optional[List[Tuple[str, str]]] = None,
+    fl: Optional[List[str]] = None,
+    default_field: str = "text",
+    synonyms: Optional[Dict[str, List[str]]] = None,
+    cursor_mark: str = "*",
+) -> Tuple[List[dict], str]:
+    """``cursorMark`` deep paging — Solr's CursorMark API over this
+    facade: returns ``(page_rows, next_cursor_mark)``.
+
+    Pass ``cursor_mark="*"`` for the first page, then feed each returned
+    mark back; you are done when a request returns the mark it was sent
+    (Solr's termination contract). Unlike ``start=N`` offset paging —
+    which collects and skips N+k ranked rows per page, O(N²) for a full
+    export — every cursor page compiles to ONE filter +
+    TakeOrderedAndProject job regardless of depth: page one million
+    costs the same as page one (query/cursor.py; PLANS.md §"cursorMark").
+
+    Solr requires the uniqueKey field in cursor sorts; this facade
+    appends ``doc_id asc`` to every sort (relevance = score desc,
+    doc_id asc), so any request here is cursor-eligible. ``start`` is
+    intentionally absent — Solr 400s a cursor request with start != 0.
+    Facets/highlighting are per-page concerns Solr recomputes each
+    request; run them via :func:`select` on the pages you need them for.
+    """
+    from nexlt_spark.query.cursor import CursorError, cursor_page, encode_cursor
+    from nexlt_spark.query.exact import ranked_scores, sorted_matches
+
+    an = getattr(index, "analyzer", "standard")
+    query = parse_request(
+        q, fq, start=0, rows=rows, sort=sort, fl=fl,
+        default_field=default_field, synonyms=synonyms, analyzer=an,
+    )
+    _sanitize_fl(query, documents)
+    if getattr(query, "count_only", False):
+        raise QueryParseError("cursorMark does not apply to count-only requests")
+
+    if not (query.terms or query.phrase) and not query.sort:
+        # match-all / pure-filter / existence requests page in doc_id order
+        query.sort = [("doc_id", "asc")]
+
+    if query.sort:
+        base, spec = sorted_matches(index, documents, query)
+        page = cursor_page(base, spec, cursor_mark, rows).collect()
+        flds = query.fl or [c for c in documents.columns]
+        out = [{k: r[k] for k in flds if k in r.__fields__} for r in page]
+    else:
+        spec = [("score", "desc"), ("doc_id", "asc")]
+        # unlimited_ranges: the ranged kernels' per-range top-(start+k)
+        # truncation only preserves the global order of the FIRST page —
+        # a deep cursor filters past it, so the kernel must emit all rows
+        scored = ranked_scores(index, documents, query, unlimited_ranges=True)
+        page = cursor_page(scored, spec, cursor_mark, rows).collect()
+        flds = query.fl or [c for c in documents.columns if c != "doc_id"]
+        if page:
+            ids = [r["doc_id"] for r in page]
+            fetched = {
+                r["doc_id"]: r
+                for r in documents.where(F.col("doc_id").isin(ids)).collect()
+            }
+            out = []
+            for r in page:
+                row = fetched.get(r["doc_id"])
+                rec = {"doc_id": r["doc_id"], "score": r["score"]}
+                if row is not None:
+                    rec.update({k: row[k] for k in flds if k in row.__fields__})
+                out.append(rec)
+        else:
+            out = []
+
+    if not page:
+        return [], cursor_mark  # next == sent ⇒ iteration is complete
+    last = page[-1]
+    try:
+        next_mark = encode_cursor([last[c] for c, _ in spec])
+    except CursorError as e:
+        raise QueryParseError(str(e)) from e
+    return out, next_mark
+
+
 # Solr /select params this facade understands; response-encoding params
 # Solr would consume before query execution are accepted and ignored.
 _URL_IGNORED = {"wt", "indent", "version", "echoParams", "omitHeader", "debugQuery"}
@@ -444,6 +529,13 @@ def select_url(
             name.startswith("f.") and ".facet." not in name
         ):
             raise QueryParseError(f"unsupported /select param {name!r}")
+    if "cursorMark" in params:
+        # cursor responses are eager (the mark encodes the page's last
+        # row), a different shape from this lazy facade — route there
+        raise QueryParseError(
+            "cursorMark paging is served by select_cursor(), which returns "
+            "(page_rows, next_cursor_mark)"
+        )
 
     def one(name: str, default: Optional[str] = None) -> Optional[str]:
         v = params.get(name)
