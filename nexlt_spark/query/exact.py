@@ -245,15 +245,52 @@ def _phrase_alive_col(phrase_tokens: List[str], slop: int):
         arr = F.col("pm")[t]
         return lambda e: F.array_min(F.filter(arr, lambda x: x > e))
 
+    def _pair_within(prev_col, next_col):
+        # exact ordered two-token window test: ∃ a∈prev, b∈next with
+        # a < b ≤ a + slop + 1. Expanding each b into its admissible
+        # predecessor window and intersecting keeps the work linear in
+        # |next|·(slop+1) with ONE intersect per doc — the per-end
+        # filter+array_min chain below is O(|prev|·|next|) interpreted
+        # HOF evaluations and allocates a filtered copy of the positions
+        # array per element, which on Zipf-head terms ("the run"~3 at
+        # ~200k docs) turns into a GC storm with 0.8 s → 15 s swings.
+        preds = F.flatten(
+            F.transform(
+                next_col, lambda b: F.sequence(b - F.lit(slop + 1), b - F.lit(1))
+            )
+        )
+        return F.size(F.array_intersect(prev_col, preds)) > 0
+
     n = len(phrase_tokens)
+
+    # window expansion is linear in slop; for pathological slops keep the
+    # chain-only form (the parser never emits these, but the API allows)
+    expand_ok = slop < 64
+
+    if n == 2 and expand_ok:
+        # for two tokens the pairwise window test IS the span criterion
+        # (span − 1 = gap ≤ slop), so it is exact on its own
+        return _pair_within(F.col("pm")[phrase_tokens[0]], F.col("pm")[phrase_tokens[1]])
+
     starts = F.col("pm")[phrase_tokens[0]]
     ends = starts
     for t in phrase_tokens[1:]:
         ends = F.transform(ends, _chain(t))
-    return F.exists(
+    chain_alive = F.exists(
         F.zip_with(starts, ends, lambda s, e: (e - s - F.lit(n - 1)) <= F.lit(slop)),
         lambda b: b,
     )
+    if not expand_ok:
+        return chain_alive
+    # n ≥ 3: every adjacent token pair of a qualifying chain is itself
+    # in-order within the total slack, so the conjunction of pairwise
+    # window tests is a necessary condition — a cheap codegen-friendly
+    # gate; CaseWhen evaluates the quadratic greedy chain only on the
+    # docs that pass it
+    pre = _pair_within(F.col("pm")[phrase_tokens[0]], F.col("pm")[phrase_tokens[1]])
+    for a, b in zip(phrase_tokens[1:], phrase_tokens[2:]):
+        pre = pre & _pair_within(F.col("pm")[a], F.col("pm")[b])
+    return F.when(pre, chain_alive).otherwise(F.lit(False))
 
 
 def phrase_score_postings(
