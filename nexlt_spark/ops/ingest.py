@@ -154,4 +154,10 @@ def redact_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[k], f"<{k.upper()}>")
     passthrough = [c for c in docs.columns if c != text_col]
-    return docs.select(*passthrough, scrubbed.alias(text_col), *counts)
+    # counts run on the coalesced text (NULL counts as 0 hits), but the
+    # rewritten column keeps NULL as NULL — turning NULL into '' would
+    # change what downstream isNotNull() filters and user pipelines see
+    out_text = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        scrubbed
+    )
+    return docs.select(*passthrough, out_text.alias(text_col), *counts)

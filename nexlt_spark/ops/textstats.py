@@ -262,6 +262,10 @@ def repetition_scores(
     all_ns = sorted(set(top_ns) | set(dup_ns))
     from nexlt_spark.ops.minhash import shingles_col
 
+    if impl not in ("local", "shuffle"):
+        # a typo'd impl must not silently fall through to the full
+        # corpus-wide shuffle the caller opted out of
+        raise ValueError(f"impl must be 'local' or 'shuffle', got {impl!r}")
     if impl == "local":
         # map-only: three chained narrow projections, one stage, no
         # exchange anywhere in the plan

@@ -19,9 +19,14 @@ This module is that mechanism over DataFrames:
   latency is flat in depth: page 1,000,000 costs the same one top-k job
   as page 1.
 - :func:`encode_cursor` / :func:`decode_cursor` — the opaque mark:
-  url-safe base64 of a JSON list of tagged sort values (timestamps as
-  ISO strings, round-trip-exact floats). ``*`` is the start-of-results
-  mark, as in Solr.
+  url-safe base64 of a JSON object of tagged sort values (timestamps as
+  exact epoch microseconds — never naive local-time strings, which shift
+  by the session-vs-driver timezone delta and collapse DST-ambiguous
+  instants — and round-trip-exact floats) plus the sort spec it was
+  minted under, so replaying a mark against a different sort raises
+  :class:`CursorError` instead of silently casting values to NULL and
+  reporting a false end-of-results. ``*`` is the start-of-results mark,
+  as in Solr.
 
 Correctness requires the sort order to be TOTAL (a unique, non-null
 tiebreak column last — Solr mandates the uniqueKey field in cursor
@@ -46,40 +51,81 @@ class CursorError(ValueError):
     """Malformed or type-incompatible cursor mark."""
 
 
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
 def _tag(v):
     if v is None or isinstance(v, (bool, int, str)):
         return ["v", v]
     if isinstance(v, float):
         return ["v", v]  # json round-trips python floats exactly (repr)
     if isinstance(v, _dt.datetime):
-        # naive and tz-aware both isoformat; cast back via the column type
-        return ["ts", v.isoformat(sep=" ")]
+        # collect() hands the driver NAIVE local-time datetimes
+        # (datetime.fromtimestamp); astimezone() on a naive value attaches
+        # the driver-local zone — the exact inverse — and integer division
+        # against the epoch gives exact microseconds with no float
+        # rounding and no dependence on spark.sql.session.timeZone at
+        # replay time (an ISO string would be re-read under the SESSION
+        # zone, shifting every boundary by the zone delta)
+        if v.tzinfo is None:
+            v = v.astimezone()
+        return ["tsu", (v - _EPOCH) // _dt.timedelta(microseconds=1)]
     if isinstance(v, _dt.date):
         return ["d", v.isoformat()]
     raise CursorError(f"unsupported cursor sort value type {type(v).__name__}")
 
 
-def encode_cursor(values: Sequence) -> str:
-    """Sort-value tuple of the page's LAST row → opaque mark."""
-    payload = json.dumps([_tag(v) for v in values], separators=(",", ":"))
-    return base64.urlsafe_b64encode(payload.encode()).decode()
+def encode_cursor(values: Sequence, sort_spec: Optional[Sequence] = None) -> str:
+    """Sort-value tuple of the page's LAST row → opaque mark. Pass the
+    sort spec to stamp the mark with it; replay under a different sort
+    then raises instead of mis-casting values."""
+    payload = {"v": [_tag(v) for v in values]}
+    if sort_spec is not None:
+        payload["s"] = [[c, d] for c, d in sort_spec]
+    return base64.urlsafe_b64encode(
+        json.dumps(payload, separators=(",", ":")).encode()
+    ).decode()
 
 
-def decode_cursor(mark: str) -> Optional[List]:
-    """Opaque mark → sort-value list; ``*`` → None (start of results)."""
+def decode_cursor(mark: str, expect_spec: Optional[Sequence] = None) -> Optional[List]:
+    """Opaque mark → sort-value list; ``*`` → None (start of results).
+    If the mark was stamped with a sort spec and ``expect_spec`` is
+    given, a mismatch raises CursorError (a mark replayed against a
+    different sort would otherwise cast to NULL literals, filter every
+    row, and read as a false end-of-results)."""
     if mark == CURSOR_START:
         return None
     try:
         payload = json.loads(base64.urlsafe_b64decode(mark.encode()))
-        return [v for _, v in payload]
+        if isinstance(payload, list):  # pre-stamp mark shape
+            tagged, minted = payload, None
+        else:
+            tagged, minted = payload["v"], payload.get("s")
+        vals = [v for _, v in tagged]
     except Exception as e:  # malformed b64/json/shape
         raise CursorError(f"malformed cursorMark {mark!r}") from e
+    if (
+        minted is not None
+        and expect_spec is not None
+        and [[c, d] for c, d in expect_spec] != minted
+    ):
+        raise CursorError(
+            f"cursorMark was minted under sort {minted} but replayed "
+            f"against {[[c, d] for c, d in expect_spec]}"
+        )
+    return vals
 
 
 def _lit_as(df: DataFrame, col: str, v):
-    """Literal comparable to df[col]: cast through the column's own type
-    (ISO strings → timestamp/date, ints → long, …)."""
-    return F.lit(v).cast(df.schema[col].dataType)
+    """Literal comparable to df[col]: timestamps travel as exact epoch
+    micros (session-timezone-proof); everything else casts through the
+    column's own type (ISO date strings → date, ints → long, …)."""
+    dtype = df.schema[col].dataType
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(dtype, TimestampType) and isinstance(v, int) and not isinstance(v, bool):
+        return F.timestamp_micros(F.lit(v))
+    return F.lit(v).cast(dtype)
 
 
 def after_cursor_col(
@@ -128,7 +174,7 @@ def cursor_page(
     """One cursor page: filter strictly-after ``mark``, then top-k in
     ``sort_spec`` order — compiles to Filter + TakeOrderedAndProject
     regardless of how deep the cursor is."""
-    vals = decode_cursor(mark)
+    vals = decode_cursor(mark, expect_spec=sort_spec)
     out = df if vals is None else df.where(after_cursor_col(df, sort_spec, vals))
     order = [
         F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in sort_spec

@@ -263,6 +263,11 @@ def _phrase_alive_col(phrase_tokens: List[str], slop: int):
 
     n = len(phrase_tokens)
 
+    if n == 1:
+        # a one-token "phrase" (any slop) is just term presence — the
+        # chain below degenerates to span 0 ≤ slop for every position
+        return F.size(F.col("pm")[phrase_tokens[0]]) > 0
+
     # window expansion is linear in slop; for pathological slops keep the
     # chain-only form (the parser never emits these, but the API allows)
     expand_ok = slop < 64
@@ -571,9 +576,16 @@ def sorted_matches(
             "left_semi",
         )
     spec = [(c, d) for c, d in (q.sort or [])]
-    if not any(c == "text_lc" for c, _ in spec):
-        spec.append(("text_lc", "asc"))
-    if not any(c == "doc_id" for c, _ in spec):
+    names = [c for c, _ in spec]
+    if "doc_id" in names:
+        # truncate at the unique key: columns after it can never affect
+        # the order, and keeping them bloats cursor marks (a text_lc
+        # tiebreak would base64 whole lowercased documents into every
+        # nextCursorMark) and the after-cursor filter
+        spec = spec[: names.index("doc_id") + 1]
+    else:
+        if "text_lc" not in names:
+            spec.append(("text_lc", "asc"))
         spec.append(("doc_id", "asc"))
     return base, spec
 
@@ -583,9 +595,17 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
     spark = documents.sparkSession
 
     an = getattr(index, "analyzer", "standard")
-    excl = prohibited_docs(index, q.not_terms, an) if q.not_terms else None
+    # lazy: prohibited_docs runs a term-stats collect, and the q.sort and
+    # bm25_topk branches below handle NOT terms themselves — computing it
+    # eagerly here would run that job twice (or for nothing)
+    _excl_memo: List = []
 
     def _not(df: DataFrame) -> DataFrame:
+        if not q.not_terms:
+            return df
+        if not _excl_memo:
+            _excl_memo.append(prohibited_docs(index, q.not_terms, an))
+        excl = _excl_memo[0]
         return df if excl is None else df.join(excl, "doc_id", "left_anti")
 
     # match-all / count-only: numFound (A6)

@@ -428,9 +428,15 @@ def select_cursor(
         flds = query.fl or [c for c in documents.columns if c != "doc_id"]
         if page:
             ids = [r["doc_id"] for r in page]
+            # project before collect: fl=['role'] must not drag full text
+            # across the wire on every page of a deep export (the select
+            # pushes into the parquet scan's ReadSchema)
+            want = ["doc_id"] + [c for c in flds if c in documents.columns]
             fetched = {
                 r["doc_id"]: r
-                for r in documents.where(F.col("doc_id").isin(ids)).collect()
+                for r in documents.where(F.col("doc_id").isin(ids))
+                .select(*dict.fromkeys(want))
+                .collect()
             }
             out = []
             for r in page:
@@ -446,7 +452,7 @@ def select_cursor(
         return [], cursor_mark  # next == sent ⇒ iteration is complete
     last = page[-1]
     try:
-        next_mark = encode_cursor([last[c] for c, _ in spec])
+        next_mark = encode_cursor([last[c] for c, _ in spec], sort_spec=spec)
     except CursorError as e:
         raise QueryParseError(str(e)) from e
     return out, next_mark

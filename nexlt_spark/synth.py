@@ -88,14 +88,19 @@ def synth_transcripts(
     cdf = _zipf_cdf(len(vocab))
 
     def gen(batches):
-        # int64 wraparound IS the hash mixing here (deterministic on every
-        # platform numpy supports) — errstate only silences the overflow
-        # warning; it does not change a single generated value
-        with np.errstate(over="ignore"):
-            yield from _gen_inner(batches)
-
-    def _gen_inner(batches):
         for pdf in batches:
+            # int64 wraparound IS the hash mixing here (deterministic on
+            # every platform numpy supports) — errstate only silences the
+            # overflow warning; it does not change a single generated
+            # value. Entered per batch, around the computation and NOT
+            # around the yield, so the suppression never stays active
+            # while the generator is suspended (Arrow serialization
+            # between batches runs with normal numpy error state).
+            with np.errstate(over="ignore"):
+                batch = _gen_batch(pdf)
+            yield batch
+
+    def _gen_batch(pdf):
             out = []
             for conv in pdf["id"].to_numpy():
                 c = np.int64(conv) * np.int64(1_000_003) + np.int64(seed)
@@ -146,7 +151,7 @@ def synth_transcripts(
                         }
                     )
                 )
-            yield pd.concat(out) if out else pd.DataFrame(
+            return pd.concat(out) if out else pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in TRANSCRIPT_SCHEMA}
             )
 

@@ -181,6 +181,15 @@ def test_slop_matches_handcrafted(mini, phrase, slop, want):
     assert orc._phrase_ids(phrase, set(range(10)), slop) == want
 
 
+def test_single_token_phrase_with_slop(mini):
+    # '"a"~2' — one analyzed token with a slop suffix must behave as term
+    # presence, not crash on the pairwise pregate (review regression)
+    docs, idx, orc = mini
+    got = {r["doc_id"] for r in phrase_match_docs(idx, ["a"], slop=2).collect()}
+    assert got == orc._phrase_ids("a", set(orc.docs), 2)
+    assert got  # non-vacuous: 'a' occurs in the mini corpus
+
+
 def test_slop_query_end_to_end(mini):
     docs, idx, orc = mini
     q = Query(phrase="a b c", phrase_slop=3, k=10)

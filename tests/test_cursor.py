@@ -71,6 +71,31 @@ def test_mark_roundtrip_and_malformed():
         encode_cursor([object()])
 
 
+def test_mark_spec_stamp_rejects_foreign_sort():
+    # a mark minted under one sort, replayed against a same-arity but
+    # different sort, must raise — not cast to NULL literals and report
+    # a false end-of-results
+    spec_a = [("ts", "asc"), ("doc_id", "asc")]
+    spec_b = [("doc_id", "asc"), ("ts", "asc")]
+    mark = encode_cursor([7, 42], sort_spec=spec_a)
+    assert decode_cursor(mark, expect_spec=spec_a) == [7, 42]
+    with pytest.raises(CursorError):
+        decode_cursor(mark, expect_spec=spec_b)
+    # unstamped marks (no sort_spec at mint time) stay permissive
+    assert decode_cursor(encode_cursor([7, 42]), expect_spec=spec_b) == [7, 42]
+
+
+def test_mark_timestamp_roundtrips_as_exact_micros():
+    import base64 as _b64
+    import datetime as _dt
+    import json as _json
+
+    ts = _dt.datetime(2026, 3, 29, 1, 30, 0, 123456)  # DST-adjacent instant
+    payload = _json.loads(_b64.urlsafe_b64decode(encode_cursor([ts]).encode()))
+    tag, v = payload["v"][0]
+    assert tag == "tsu" and isinstance(v, int)  # exact integer micros, not ISO text
+
+
 # --------------------------------------------------------------------------
 # facade walks
 # --------------------------------------------------------------------------

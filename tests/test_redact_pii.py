@@ -28,7 +28,9 @@ CASES = [
 
 def _oracle(text):
     if text is None:
-        text = ""
+        # NULL text stays NULL (zero counts) — redaction must not turn
+        # missing text into empty text
+        return None, {f"n_{k}": 0 for k in ("email", "ipv4", "phone")}
     out = text
     counts = {}
     for k in ("email", "ipv4", "phone"):
@@ -62,7 +64,7 @@ def test_specific_redactions(spark):
     # precision probes: untouched
     assert got[6]["text"] == CASES[6][1]
     assert got[7]["text"] == CASES[7][1]
-    assert got[5]["text"] == ""  # null text -> empty, zero counts
+    assert got[5]["text"] is None  # null text stays null, zero counts
     assert got[5]["n_email"] == 0
     # the swallowed phone is counted as the email that consumed it
     assert got[8]["text"] == "reach <EMAIL> today"
