@@ -172,18 +172,29 @@ def facet_date_counts(
     """
     gap_s = parse_date_gap(gap)
     spark = df.sparkSession
-    bounds = spark.range(1).select(
-        F.unix_timestamp(F.to_timestamp(F.lit(start))).alias("s"),
-        F.unix_timestamp(F.to_timestamp(F.lit(end))).alias("e"),
-    ).collect()[0]
-    if bounds["s"] is None or bounds["e"] is None or bounds["e"] <= bounds["s"]:
-        raise ValueError(f"facet.date needs parseable start < end, got {start!r}..{end!r}")
-    s_epoch, e_epoch = int(bounds["s"]), int(bounds["e"])
+    # bounds parse driver-side (normalize_ts: canonical UTC, raising
+    # QueryParseError — the facade's 400 — on garbage) instead of
+    # scheduling a Spark job to evaluate to_timestamp on two literals;
+    # epoch-second literals also make the plan independent of
+    # spark.sql.session.timeZone (the engine pins UTC, session.py)
+    import datetime as _dt
+
+    from nexlt_spark.query.parser import normalize_ts
+
+    def _epoch(vstr: str) -> int:
+        d = _dt.datetime.fromisoformat(normalize_ts(vstr))
+        return int(d.replace(tzinfo=_dt.timezone.utc).timestamp())
+
+    s_epoch, e_epoch = _epoch(start), _epoch(end)
+    if e_epoch <= s_epoch:
+        raise ValueError(f"facet.date needs start < end, got {start!r}..{end!r}")
     n_buckets = int(math.ceil((e_epoch - s_epoch) / gap_s))
     spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     v = F.unix_timestamp(F.col(col))
+    ts_s = F.timestamp_seconds(F.lit(s_epoch))
+    ts_e = F.timestamp_seconds(F.lit(e_epoch))
     counts = (
-        df.where((F.col(col) >= F.to_timestamp(F.lit(start))) & (F.col(col) < F.to_timestamp(F.lit(end))))
+        df.where((F.col(col) >= ts_s) & (F.col(col) < ts_e))
         .groupBy(F.floor((v - F.lit(s_epoch)) / F.lit(gap_s)).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -466,6 +466,13 @@ _URL_IGNORED = {"wt", "indent", "version", "echoParams", "omitHeader", "debugQue
 _URL_UNSUPPORTED_PREFIXES = (
     "group", "mlt", "spellcheck", "stats", "spatial", "terms", "expand",
 )
+# base names of every param the facade consumes; anything else (minus
+# the response-encoding _URL_IGNORED set) raises rather than silently
+# changing nothing
+_URL_KNOWN_BASES = {
+    "q", "fq", "start", "rows", "sort", "fl", "df", "facet", "hl", "f",
+    "cursorMark",
+}
 
 
 def _fq_condition(qp: Query) -> Column:
@@ -489,7 +496,9 @@ def _fq_condition(qp: Query) -> Column:
             conds.append(F.col(col).isin(list(vals)))
     if qp.exists:
         conds.append(F.col("text").isNotNull() & (F.length("text") > 0))
-    if not conds or qp.terms or qp.phrase:
+    if not conds or qp.terms or qp.phrase or qp.not_terms:
+        # not_terms would require posting-set subtraction, not a per-doc
+        # Column — silently dropping them would inflate the facet count
         raise QueryParseError(
             "facet.query must be filter-shaped (field:value, range, existence)"
         )
@@ -535,6 +544,11 @@ def select_url(
             name.startswith("f.") and ".facet." not in name
         ):
             raise QueryParseError(f"unsupported /select param {name!r}")
+        if base not in _URL_KNOWN_BASES and name not in _URL_IGNORED:
+            # honest refusal beats Solr's silent ignore: an unknown param
+            # (qf, boost, defType typo'd…) may well be one that would
+            # change results on a real Solr
+            raise QueryParseError(f"unknown /select param {name!r}")
     if "cursorMark" in params:
         # cursor responses are eager (the mark encodes the page's last
         # row), a different shape from this lazy facade — route there

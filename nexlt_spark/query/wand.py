@@ -189,12 +189,20 @@ def _pa_ds(bidx: BlockedIndex):
     path = getattr(bidx, "store_path", None)
     if not path:
         return None
+    from nexlt_spark.fs import local_path
+
+    lpath = local_path(path)
+    if lpath is None:
+        # remote stores (s3a://, hdfs://): pyarrow.dataset can't open the
+        # URI directly — return None so callers fall back to the Spark
+        # cluster flow instead of crashing the query
+        return None
     dset = getattr(bidx, "_pa_dataset", None)
     if dset is None:
         import pyarrow.dataset as pds
 
         dset = pds.dataset(
-            f"{path}/postings_blocks", format="parquet", partitioning="hive"
+            f"{lpath}/postings_blocks", format="parquet", partitioning="hive"
         )
         bidx._pa_dataset = dset
     return dset

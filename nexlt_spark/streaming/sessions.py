@@ -127,8 +127,17 @@ def sessionize_turns(
         state.update((n, nu, ch, fm, lm))
         # the close timer: event-time, so it needs no further input for
         # this key — the watermark advancing (even via no-data batches)
-        # fires it. setTimeoutTimestamp takes epoch-ms.
-        state.setTimeoutTimestamp(lm + gap_seconds * 1000)
+        # fires it. setTimeoutTimestamp takes epoch-ms. Clamp to strictly
+        # above the current watermark: applyInPandasWithState does NOT
+        # drop late rows, so a straggler key whose lm + gap already fell
+        # behind the watermark would otherwise throw ("timeout cannot be
+        # earlier than watermark") and kill the query permanently — the
+        # clamped session instead closes on the next watermark advance.
+        timeout_ms = lm + gap_seconds * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and timeout_ms <= wm_ms:
+            timeout_ms = wm_ms + 1
+        state.setTimeoutTimestamp(timeout_ms)
         # no output on the update path (yielding an empty frame would
         # also work, but trips pandas' empty-concat dtype deprecation)
 
