@@ -1,5 +1,6 @@
 """Faceting (A7): facet.field / facet.query / facet.range semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from nexlt_spark.query.facets import (
@@ -147,3 +148,32 @@ def test_facet_date_via_url(index, documents):
     hist = r.facet_dates["ts"].collect()
     assert sum(x["n"] for x in hist) == documents.count()
     assert all(x["n"] >= 0 for x in hist)
+
+
+def test_facet_date_bounds_parse_driver_side(spark):
+    """facet.date bounds are validated on the driver (no Spark job for
+    two literals): garbage raises QueryParseError before any job, and
+    mixed-precision ISO spellings of the same instant bucket identically."""
+    from datetime import datetime, timedelta
+
+    from nexlt_spark.query.facets import facet_date_counts
+    from nexlt_spark.query.parser import QueryParseError
+
+    t0 = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(t0 + timedelta(hours=6 * i),) for i in range(8)], "ts timestamp"
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    with pytest.raises(QueryParseError, match="unparseable"):
+        facet_date_counts(df, "ts", "garbage", "2026-01-03", "+1DAY")
+    with pytest.raises(ValueError, match="start < end"):
+        facet_date_counts(df, "ts", "2026-01-03", "2026-01-01", "+1DAY")
+    assert tracker.getJobIdsForGroup(None) == before  # zero jobs to reject
+
+    terse = facet_date_counts(df, "ts", "2026-01-01", "2026-01-03", "+1DAY")
+    verbose = facet_date_counts(
+        df, "ts", "2026-01-01T00:00:00", "2026-01-03T00:00:00.000", "+1DAY"
+    )
+    assert sorted(map(tuple, terse.collect())) == sorted(map(tuple, verbose.collect()))

@@ -385,3 +385,27 @@ def test_unknown_fl_ignored_unknown_sort_raises(index, documents):
     assert "text" in allf.columns
     with pytest.raises(QueryParseError, match="undefined field"):
         select_url(index, documents, "q=error&sort=bogus desc")
+
+
+def test_url_unknown_param_raises(index, documents):
+    """An unknown /select param must be a 400, not a silent no-op: a
+    typo'd or unported param (qf, boost, defTyp) could be one that
+    changes results on a real Solr."""
+    from nexlt_spark.query.select import select_url
+
+    for bad in ("q=error&qf=text^2", "q=error&boost=score", "q=error&defTyp=lucene"):
+        with pytest.raises(QueryParseError, match="unknown /select param"):
+            select_url(index, documents, bad)
+
+
+def test_url_facet_query_not_clause_refused(index, documents):
+    """facet.query with a NOT clause needs posting-set subtraction, not a
+    per-doc Column — dropping it silently would inflate the count, so the
+    facade must refuse."""
+    from nexlt_spark.query.select import select_url
+
+    with pytest.raises(QueryParseError, match="filter-shaped"):
+        select_url(
+            index, documents,
+            "q=*:*&facet=true&facet.query=role:user%20-error",
+        )

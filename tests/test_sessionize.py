@@ -190,3 +190,42 @@ def test_matches_batch_oracle(spark, dirs):
         g = got[conv]
         for f in ("n_turns", "n_user_turns", "total_chars", "started_at", "last_at"):
             assert g[f] == w[f], (conv, f)
+
+
+def test_late_straggler_update_does_not_kill_query(spark, dirs):
+    """A late row for a live key whose last_ts + gap already fell behind
+    the watermark must not kill the query: applyInPandasWithState does
+    not drop late input, so the update path would compute a timeout in
+    the past ('timeout cannot be earlier than watermark' — fatal).
+    The clamp closes the session on the next watermark advance instead.
+
+    Batch 1 seeds A@T0 and B@T0+3h together, so the watermark jumps to
+    T0+3h while A's timer is T0+gap. Batch 2 delivers a straggler A turn
+    at T0+60s — its natural timeout (T0+60s+gap) is behind the watermark.
+    Batch 3's C@T0+6h advances the watermark past the clamped timer, and
+    the no-data flush closes A with BOTH turns."""
+    _drop(
+        _mk(
+            spark,
+            [
+                ("A", 0, "user", "hello", None, T0),
+                ("B", 0, "user", "watermark mover", None, T0 + timedelta(hours=3)),
+            ],
+        ),
+        dirs["drop"],
+    )
+    _drop(
+        _mk(spark, [("A", 1, "assistant", "late reply", None, T0 + timedelta(seconds=60))]),
+        dirs["drop"],
+    )
+    _drop(
+        _mk(spark, [("C", 0, "user", "advance again", None, T0 + timedelta(hours=6))]),
+        dirs["drop"],
+    )
+    _drain(spark, dirs)
+    got = _sessions(spark, dirs)
+    assert set(got) == {"A", "B"}
+    a = got["A"]
+    assert a["n_turns"] == 2  # the straggler was folded in, not dropped
+    assert a["last_at"] == T0 + timedelta(seconds=60)
+    assert a["started_at"] == T0

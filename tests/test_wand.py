@@ -221,3 +221,16 @@ def test_wand_driver_plan_zero_spark_jobs(spark, index, tmp_path_factory):
         assert len(rows) > 0
         after = tracker.getJobIdsForGroup(None)
         assert len(after) - len(before) <= 1, (terms, mode)
+
+
+def test_pa_ds_remote_store_uri_falls_back_to_cluster():
+    """_pa_ds must return None for a non-local store URI (s3a://, hdfs://)
+    instead of handing pyarrow.dataset a path it cannot open — callers
+    then take the Spark cluster flow."""
+    from types import SimpleNamespace
+
+    from nexlt_spark.query.wand import _pa_ds
+
+    assert _pa_ds(SimpleNamespace(store_path="s3a://bucket/store")) is None
+    assert _pa_ds(SimpleNamespace(store_path="hdfs://nn:8020/store")) is None
+    assert _pa_ds(SimpleNamespace(store_path=None)) is None
