@@ -9,7 +9,7 @@ every store operation the stand-in performs —
 
 - table creation with the ``bucket(term)`` partition transform (the
   stand-in's ``term_bucket = pmod(xxhash64(term), B)`` column,
-  blocks.py:15-16),
+  blocks.py ``save_blocked_index``, :273),
 - ``MERGE INTO`` last-write-wins upsert on ``doc_key`` (the stand-in's
   tombstone + left_anti join, incremental.py ``ingest_batch``),
 - snapshot time travel (the stand-in's ``as_of_batch`` manifest filter,
@@ -58,23 +58,42 @@ def _qualified(table: str) -> str:
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the session is configured for Iceberg: the session
     extension is installed AND at least one Spark catalog is an Iceberg
-    SparkCatalog/SparkSessionCatalog. Never raises, never runs a job."""
+    SparkCatalog/SparkSessionCatalog. Never raises, never runs a job
+    (``SET`` is a driver-local command, not a Spark job). Catalogs are
+    read from the session RuntimeConf via ``SET`` — NOT from
+    ``sparkContext.getConf()``, which is the static SparkConf frozen at
+    context creation and misses catalogs configured with
+    ``spark.conf.set`` on a shared/notebook session."""
     try:
         ext = spark.conf.get("spark.sql.extensions", "") or ""
         if "IcebergSparkSessionExtensions" not in ext:
             return False
-        jconf = spark.sparkContext.getConf().getAll()
+        conf_rows = [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
     except Exception:  # pragma: no cover - defensive
         return False
     return any(
         k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
-        for k, v in jconf
+        for k, v in conf_rows
     )
 
 
 def _ddl_columns(schema_str: str) -> str:
-    """'a string, b long' -> 'a string,\n  b long' (readable DDL body)."""
-    return ",\n  ".join(c.strip() for c in schema_str.split(","))
+    """'a string, b long' -> 'a string,\n  b long' (readable DDL body).
+
+    Splits on TOP-LEVEL commas only, so parameterized types
+    (``decimal(10,2)``, ``map<string,int>``, ``array<struct<...>>``)
+    stay intact if a store schema ever grows one."""
+    cols, depth, start = [], 0, 0
+    for i, ch in enumerate(schema_str):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols.append(schema_str[start:i].strip())
+            start = i + 1
+    cols.append(schema_str[start:].strip())
+    return ",\n  ".join(c for c in cols if c)
 
 
 def create_postings_blocks_sql(
@@ -182,14 +201,29 @@ def _require(spark: SparkSession) -> None:
 def write_blocks_iceberg(
     blocks: DataFrame, table: str, n_buckets: int = 32, positions: bool = False
 ) -> None:
-    """Create-and-replace the blocked postings store as an Iceberg table
-    (the ``save_blocked_index`` seam). DataFrameWriterV2: the bucket
-    transform lives in the table DDL, so no ``term_bucket`` column and no
-    manual ``partitionBy`` — the catalog routes rows."""
+    """Create-or-REPLACE the blocked postings store as an Iceberg table
+    (the ``save_blocked_index`` seam, whose ``mode("overwrite")`` is a
+    full truncate — blocks.py:282). DataFrameWriterV2 ``createOrReplace``
+    with the bucket transform on the writer: no ``term_bucket`` column,
+    no manual ``partitionBy``, and — unlike ``overwritePartitions`` — no
+    stale rows in bucket partitions the new blocks DataFrame doesn't
+    touch (every rebuild reassigns doc_ids from 0, so leftover old-space
+    postings would resolve to wrong documents). Replacing also re-applies
+    the partition spec, so an ``n_buckets``/``positions`` change takes
+    effect instead of silently writing into the old layout."""
+    from pyspark.sql.functions import partitioning
+
     spark = blocks.sparkSession
     _require(spark)
-    spark.sql(create_postings_blocks_sql(table, n_buckets, positions))
-    blocks.writeTo(_qualified(table)).overwritePartitions()
+    (
+        blocks.writeTo(_qualified(table))
+        .using("iceberg")
+        .partitionedBy(partitioning.bucket(int(n_buckets), "term"))
+        .tableProperty("write.parquet.compression-codec", "zstd")
+        .tableProperty("write.distribution-mode", "hash")
+        .tableProperty("write.target-file-size-bytes", "134217728")
+        .createOrReplace()
+    )
 
 
 def append_documents_iceberg(docs: DataFrame, table: str) -> None:
@@ -202,11 +236,27 @@ def append_documents_iceberg(docs: DataFrame, table: str) -> None:
 
 
 def upsert_documents_iceberg(docs: DataFrame, table: str) -> None:
-    """MERGE one batch by ``doc_key`` (tombstone-free last-write-wins)."""
+    """MERGE one batch by ``doc_key`` (tombstone-free last-write-wins).
+
+    The batch is first deduped within itself by ``doc_key`` —
+    ``latest_by_key`` on (ts, doc_id), the same within-batch LWW
+    ``ingest_batch`` applies (incremental.py) — because Iceberg MERGE
+    requires the source to match each target row at most once: a
+    re-delivered turn appearing twice in one batch would otherwise
+    insert duplicate doc_keys on first ingest and abort later merges
+    with a cardinality violation."""
+    import uuid
+
+    from nexlt_spark.ops.ingest import latest_by_key
+
     spark = docs.sparkSession
     _require(spark)
     spark.sql(create_documents_sql(table))
-    view = "nexlt_merge_source"
+    tiebreak = "doc_id" if "doc_id" in docs.columns else "turn_idx"
+    docs = latest_by_key(docs, ["doc_key"], "ts", tiebreak)
+    # unique per call: never clobbers a caller's view, safe under
+    # concurrent upserts on one shared session
+    view = f"nexlt_merge_source_{uuid.uuid4().hex}"
     docs.createOrReplaceTempView(view)
     try:
         spark.sql(merge_upsert_documents_sql(table, view))

@@ -65,6 +65,22 @@ def test_snapshot_procedures():
         expire_snapshots_sql("lake", "search.docs", older_than="yesterday-ish")
 
 
+def test_ddl_columns_split_top_level_only():
+    # parameterized types must survive the column split intact
+    from nexlt_spark.index.iceberg import _ddl_columns
+
+    body = _ddl_columns(
+        "a decimal(10,2), b map<string,int>, c array<struct<x:int,y:string>>, d string"
+    )
+    cols = [c.strip() for c in body.split(",\n  ")]
+    assert cols == [
+        "a decimal(10,2)",
+        "b map<string,int>",
+        "c array<struct<x:int,y:string>>",
+        "d string",
+    ]
+
+
 @pytest.mark.parametrize(
     "bad",
     ["docs; DROP TABLE x", "a-b.c", "", "lake..docs", "d'ocs", "1docs"],
