@@ -37,6 +37,71 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+# Prose context emitted above a section's "Asserted:" line — the why
+# behind the node-presence checks, keyed by section title.
+NARRATIVES = {
+    "cursorMark deep page (keyset pagination)": """\
+The offset path (`paginate`, O5 above) costs a collect-and-skip of
+start+k ranked rows per page — fine for the UI's shallow pages, O(N²)
+for a full-corpus export. A cursor page instead compiles to Filter
+(lexicographic "sorts strictly after the cursor tuple" — null-aware
+under Spark's default asc-nulls-first/desc-nulls-last) feeding ONE
+TakeOrderedAndProject, so every page is one reduced top-k job (k rows
+per partition cross the exchange) at ANY depth — page one million costs
+the same as page one. This is Solr's own CursorMark design point: the
+mark encodes the last row's sort values (`query/cursor.py`, url-safe
+base64 JSON, timestamps ISO, floats round-trip-exact), the sort is made
+total by the appended `doc_id asc` tiebreak (Solr's uniqueKey
+requirement), and iteration terminates when a request returns the mark
+it was sent (`select.select_cursor`). Relevance cursors run
+`ranked_scores` with `unlimited_ranges=True`: the ranged kernels'
+per-range top-(start+k) truncation preserves the global order only up
+to the first page, so deep cursor pages must see every scored row.
+Also asserted in `tests/test_cursor.py::test_cursor_page_plan_is_take_ordered`.""",
+    "WAND default plan: driver skip-data, zero cluster-side pruning": """\
+`wand_topk`'s default (`skip_cache=True`) serves from driver-resident
+skip data whenever every present term's block count fits the cache cap:
+block selection, θ maintenance, and pruning are driver-side numpy; the
+only Spark jobs read key-selected block rows. The RESULT DataFrame is
+therefore a `LocalTableScan` — the scores are already resident, and a
+serving node answers follow-up pages without any further cluster work
+(BENCH.md §2's QPS table measures this route at p50 ≈ 85 ms). The cluster-side flow
+below stays available for over-cap terms and is what a 10^12-doc head
+term would route through.""",
+    "Training-data quality ops: repetition signals, boilerplate strip, contamination": """\
+Audited live on the documents table (AQE on — join strategies that are
+size-based at this scale are called out as such):
+
+- `textstats.repetition_scores` — the line-level fractions never appear
+  in any exchange: they are nested higher-order Column expressions
+  (count-of-equals over the per-row lines array), computed in the same
+  projection that scans the table. The n-gram side is ONE posexplode →
+  groupBy(doc_id, text_len, n, gram) [partial agg before the exchange]
+  → groupBy(doc_id) with max_by/conditional aggregation folding every
+  (n, top/dup) cell — doc_id ALONE keys the second exchange, so that
+  partitioning satisfies the final join's distribution. The join of
+  line signals to n-gram signals is broadcast at this size; at corpus
+  scale it becomes a SMJ on doc_id whose right side is already
+  partitioned by the second groupBy, so only the slim line-signal side
+  (doc_id + two doubles) moves.
+- `dedup.strip_boilerplate_lines` — the boilerplate set is built over
+  8-byte xxhash64 line keys (per-doc `distinct` runs map-side first, so
+  a doc repeating its own line contributes one row). The anti-join's
+  build side is left to AQE's size estimate: fixture-scale sets
+  broadcast (as here), but the set is NOT bounded by construction — a
+  web corpus has billions of shared lines — so past the threshold the
+  join falls back to a shuffled anti-join on the 8-byte hash instead of
+  OOMing. Per-doc reassembly is keyed by doc_id, order restored by
+  carried positions via sort_array — no global sort.
+- `ops.contamination.ngram_contamination` — the benchmark shingle set
+  is broadcast (`F.broadcast`, small by definition), so the corpus
+  shingle stream is never shuffled on shingle; the only aggregations
+  over corpus-scale data are the per-doc shingle-count groupBys, keyed
+  by doc_id with map-side partial counts. Also asserted in
+  `tests/test_contamination.py`.""",
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "PLANS.md"))
@@ -89,6 +154,26 @@ def main() -> None:
     q4 = run_query(idx, docs, Query(terms=["query"], sort=[("text_lc", "asc")], k=20))
     sections.append(
         ("Sorted query path (O2/O5)", plan_text(q4), ["TakeOrderedAndProject"], [])
+    )
+
+    # 3b. cursorMark keyset paging: deep pages stay one reduced top-k —
+    # the mark becomes a Filter, never a Window/row_number over the corpus
+    from nexlt_spark.query.cursor import cursor_page, encode_cursor
+
+    spec = [("n_chars", "asc"), ("doc_id", "asc")]
+    q4b = cursor_page(
+        docs.select("doc_id", "lang", "n_chars"),
+        spec,
+        encode_cursor([120, 500], sort_spec=spec),
+        10,
+    )
+    sections.append(
+        (
+            "cursorMark deep page (keyset pagination)",
+            plan_text(q4b),
+            ["TakeOrderedAndProject"],
+            ["Window", "SortMergeJoin"],
+        )
     )
 
     # 4. phrase from the positions index: postings-only — the plan of a
@@ -234,7 +319,21 @@ def main() -> None:
         )
     )
 
-    q10 = wand_topk(bidx, ["spark", "join"], k=10, mode="or")
+    # default: the driver skip-data plan — pruning never touches the
+    # cluster, and the result is already local when the DataFrame exists
+    q10a = wand_topk(bidx, ["spark", "join"], k=10, mode="or")
+    sections.append(
+        (
+            "WAND default plan: driver skip-data, zero cluster-side pruning",
+            plan_text(q10a),
+            ["LocalTableScan"],
+            ["FlatMapGroupsInPandas", "Exchange", "SortMergeJoin"],
+        )
+    )
+
+    # skip_cache=False forces the cluster-side flow (what an over-cap
+    # head term routes through at 10^12 docs)
+    q10 = wand_topk(bidx, ["spark", "join"], k=10, mode="or", skip_cache=False)
     sections.append(
         (
             "WAND rescore on the ranged store (candidate-masked kernel, dense candidates)",
@@ -288,6 +387,34 @@ def main() -> None:
         )
     )
 
+    # 12. training-data quality ops: no sort-merge joins, no cartesian,
+    # no per-row Python anywhere in the three pipelines
+    from nexlt_spark.ops.contamination import ngram_contamination
+    from nexlt_spark.ops.dedup import strip_boilerplate_lines
+    from nexlt_spark.ops.textstats import repetition_scores
+
+    bench_items = docs.where(F.col("doc_id") % 37 == 0).select(
+        "doc_id", F.expr("substring(text, 1, 120)").alias("text")
+    )
+    q12 = "\n".join(
+        [
+            "--- repetition_scores ---",
+            plan_text(repetition_scores(docs)),
+            "--- strip_boilerplate_lines ---",
+            plan_text(strip_boilerplate_lines(docs)),
+            "--- ngram_contamination ---",
+            plan_text(ngram_contamination(docs, bench_items, shingle_n=8, min_hits=3)),
+        ]
+    )
+    sections.append(
+        (
+            "Training-data quality ops: repetition signals, boilerplate strip, contamination",
+            q12,
+            [],
+            ["SortMergeJoin", "CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     failures: list[str] = []
     out_lines = [
         "# PLANS — physical-plan evidence (`.explain(\"formatted\")`)",
@@ -299,6 +426,8 @@ def main() -> None:
     ]
     for title, text, must_contain, must_not in sections:
         out_lines += [f"## {title}", ""]
+        if title in NARRATIVES:
+            out_lines += [NARRATIVES[title], ""]
         missing = [m for m in must_contain if m not in text]
         present_bad = [m for m in must_not if m in text]
         if missing:
