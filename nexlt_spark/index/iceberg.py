@@ -96,6 +96,16 @@ def _ddl_columns(schema_str: str) -> str:
     return ",\n  ".join(c for c in cols if c)
 
 
+# Single source of truth for the blocked-store table layout: the DDL
+# generator and the DataFrameWriterV2 facade both consume these, so a
+# tuning change cannot diverge the SQL-created and writer-created tables.
+BLOCKS_TABLE_PROPERTIES = {
+    "write.parquet.compression-codec": "zstd",
+    "write.distribution-mode": "hash",
+    "write.target-file-size-bytes": "134217728",
+}
+
+
 def create_postings_blocks_sql(
     table: str, n_buckets: int = 32, positions: bool = False
 ) -> str:
@@ -105,16 +115,15 @@ def create_postings_blocks_sql(
     ``term_bucket`` column, so query-term lookups prune to one partition
     per term and hot-term salting (``rsalt``) spreads files within it."""
     schema = BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA
+    props = ",\n".join(
+        f"  '{k}' = '{v}'" for k, v in BLOCKS_TABLE_PROPERTIES.items()
+    )
     return (
         f"CREATE TABLE IF NOT EXISTS {_qualified(table)} (\n"
         f"  {_ddl_columns(schema)}\n"
         f") USING iceberg\n"
         f"PARTITIONED BY (bucket({int(n_buckets)}, term))\n"
-        f"TBLPROPERTIES (\n"
-        f"  'write.parquet.compression-codec' = 'zstd',\n"
-        f"  'write.distribution-mode' = 'hash',\n"
-        f"  'write.target-file-size-bytes' = '134217728'\n"
-        f")"
+        f"TBLPROPERTIES (\n{props}\n)"
     )
 
 
@@ -215,15 +224,12 @@ def write_blocks_iceberg(
 
     spark = blocks.sparkSession
     _require(spark)
-    (
-        blocks.writeTo(_qualified(table))
-        .using("iceberg")
-        .partitionedBy(partitioning.bucket(int(n_buckets), "term"))
-        .tableProperty("write.parquet.compression-codec", "zstd")
-        .tableProperty("write.distribution-mode", "hash")
-        .tableProperty("write.target-file-size-bytes", "134217728")
-        .createOrReplace()
+    writer = blocks.writeTo(_qualified(table)).using("iceberg").partitionedBy(
+        partitioning.bucket(int(n_buckets), "term")
     )
+    for k, v in BLOCKS_TABLE_PROPERTIES.items():
+        writer = writer.tableProperty(k, v)
+    writer.createOrReplace()
 
 
 def append_documents_iceberg(docs: DataFrame, table: str) -> None:
@@ -252,8 +258,15 @@ def upsert_documents_iceberg(docs: DataFrame, table: str) -> None:
     spark = docs.sparkSession
     _require(spark)
     spark.sql(create_documents_sql(table))
-    tiebreak = "doc_id" if "doc_id" in docs.columns else "turn_idx"
-    docs = latest_by_key(docs, ["doc_key"], "ts", tiebreak)
+    if "doc_id" not in docs.columns:
+        # the MERGE's INSERT * expands by name against the documents
+        # table, which carries doc_id — a doc_id-less batch would fail
+        # analysis inside the MERGE with a far less actionable error
+        raise ValueError(
+            "upsert_documents_iceberg: batch is missing doc_id; assign "
+            "ids first (flatten.assign_stable_ids / flatten_transcripts)"
+        )
+    docs = latest_by_key(docs, ["doc_key"], "ts", "doc_id")
     # unique per call: never clobbers a caller's view, safe under
     # concurrent upserts on one shared session
     view = f"nexlt_merge_source_{uuid.uuid4().hex}"
