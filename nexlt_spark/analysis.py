@@ -172,6 +172,48 @@ def ja_stream(toks: List[str]) -> List[str]:
     return out
 
 
+# --- Thai (text_th, schema.xml:858-867) ------------------------------------
+# The reference's chain is ThaiWordFilter — ICU's DICTIONARY word-break
+# (Thai writes no spaces between words). No Thai dictionary ships in this
+# container, so "th_bigram" is an honestly-labeled dictionary-less
+# APPROXIMATION of that chain's retrieval behavior: Thai script runs
+# become overlapping character bigrams — the same recall fallback
+# text_cjk applies to han, and the standard dictionary-less IR treatment
+# of unsegmented scripts — while non-Thai text tokenizes as standard
+# lowercase runs. Combining vowels/tone marks ride along as ordinary
+# characters (self-consistent index-vs-query is all rank identity
+# needs). Index and query share the function; ICU-parity is explicitly
+# NOT claimed, mirroring ja_seg's framing.
+# consonants+dependent vowels (U+0E01-0E3A) and เ-๎ (U+0E40-0E4E:
+# leading vowels, ๆ, tone marks) — skips ฿ and Thai digits
+_THAI = "ก-ฺเ-๎"
+TH_TOKEN_RE = re.compile(rf"[{_THAI}]|[^\W_{_THAI}]+", re.UNICODE)
+_THAI_SINGLE = re.compile(rf"^[{_THAI}]$")
+
+
+def th_stream(toks: List[str]) -> List[str]:
+    """Bigram Thai character runs (lone Thai char passes through); pass
+    non-Thai tokens unchanged."""
+    out: List[str] = []
+    run: List[str] = []
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        elif run:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    for t in toks:
+        if _THAI_SINGLE.match(t):
+            run.append(t)
+        else:
+            flush()
+            out.append(t)
+    flush()
+    return out
+
+
 class Chain(NamedTuple):
     """One analyzer chain: tokenize with ``regex``, then either a 1:1
     per-token map (vocab-level applicable — the stemmer path) or a
@@ -226,6 +268,9 @@ ANALYZERS = {
     "ar_light": Chain(token_map=arabic_light_stem),
     "ru_light": Chain(token_map=russian_light_stem),
     "ja_seg": Chain(regex=JA_TOKEN_RE, stream_map=ja_stream),
+    # text_th schema.xml:858-867 — dictionary-less bigram approximation
+    # of the ICU Thai word-break (th_stream comment block)
+    "th_bigram": Chain(regex=TH_TOKEN_RE, stream_map=th_stream),
     # batch 2: the remaining dictionary-free chains (stemmer_light2
     # module docstring for the schema.xml line map). All are vocab-level
     # token maps — same memoized pandas_udf path, no new UDF shapes.

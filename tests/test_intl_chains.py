@@ -81,8 +81,17 @@ def test_ja_stream_is_pure_stream_map():
 
 
 def test_registry_complete():
-    for name in ("ar_light", "ru_light", "ja_seg"):
+    for name in ("ar_light", "ru_light", "ja_seg", "th_bigram"):
         assert name in ANALYZERS
+
+
+def test_th_bigrams_runs():
+    # Thai runs -> overlapping char bigrams; non-Thai passes through
+    assert tokenize("ภาษาไทย", "th_bigram") == ["ภา", "าษ", "ษา", "าไ", "ไท", "ทย"]
+    assert tokenize("ก", "th_bigram") == ["ก"]  # lone char passes whole
+    assert tokenize("Spark กับ Python", "th_bigram") == [
+        "spark", "กั", "ับ", "python"
+    ]
 
 
 def test_chain_equals_mapped_standard_chain():
@@ -104,6 +113,9 @@ def intl_corpus(spark):
         (6, "コンピューターで日本語の文書を作成"),
         (7, "コンピュータと機械学習の話"),
         (8, "全く関係ない話題"),
+        (9, "ภาษาไทยสวยงาม"),
+        (10, "เรียนภาษาอังกฤษ"),
+        (11, "อากาศดีมาก"),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -114,6 +126,7 @@ def intl_corpus(spark):
         ("ar_light", ["والكتاب"], {0, 1}),      # conj+definite form reaches both books
         ("ru_light", ["переводами"], {3, 4}),   # instrumental plural reaches both
         ("ja_seg", ["コンピューター"], {6, 7}),  # ー-stem merges both spellings
+        ("th_bigram", ["ภาษา"], {9, 10}),        # shared bigrams, no segmentation
     ],
 )
 def test_intl_end_to_end_rank_identity(intl_corpus, analyzer, query, want_docs):
