@@ -31,6 +31,7 @@ MIXED_TEXTS = [
     "l'acqua dell'arte",
     "日本語のテキストです",
     "mixed 日本語 and english l'eau",
+    "ภาษาไทยกับ Spark ปนกัน",
     "",
     None,
     "   ",
