@@ -54,6 +54,7 @@ from nexlt_spark.stemmer_light2 import (
     indonesian_light_stem,
     norwegian_light_stem,
     persian_normalize,
+    polish_light_stem,
     romanian_light_stem,
     swedish_light_stem,
     turkish_light_stem,
@@ -291,6 +292,9 @@ ANALYZERS = {
     "fa_norm": Chain(token_map=persian_normalize),
     "hi_light": Chain(token_map=hindi_light_stem),
     "id_light": Chain(token_map=indonesian_light_stem),
+    # text_pl — light approximation of the statistical Stempel stemmer
+    # (stemmer_light2 Polish comment block; parity NOT claimed)
+    "pl_light": Chain(token_map=polish_light_stem),
     # batch 3 closes the language set (stemmer_light2 docstring):
     # text_eu/ga/gl/hy/lv, plus the three fieldTypes the reference
     # declares as Standard+LowerCase with the stemmer commented out —

@@ -17,10 +17,11 @@ with elision + mutation folding), Galician (text_gl :640-650), Armenian
 (text_hy :686-695) and Latvian (text_lv :771-780).  Hebrew/Slovak/
 Vietnamese (text_he :665-673, text_sk :838-847, text_vi :880-888)
 declare Standard+LowerCase with the stemmer commented OUT in the
-reference, so they alias the ``standard`` chain; Polish (text_pl,
+reference, so they alias the ``standard`` chain.  Polish (text_pl,
 Stempel statistical dictionary) and Thai (text_th, ICU dictionary
-word-break) are dictionary-backed and stay documented non-goals like
-Kuromoji-exact Japanese.
+word-break) are dictionary-backed; they ship as honestly-labeled
+approximations — ``polish_light_stem`` below and analysis.py's
+``th_bigram`` — with parity explicitly not claimed, like ja_seg.
 
 Same contract as ``stemmer_light`` (its module docstring): these are
 ORIGINAL conservative rule sets modeling each chain's *retrieval
@@ -523,3 +524,28 @@ _LV_ENDINGS = (
 
 def latvian_light_stem(w: str) -> str:
     return _strip_one(w, _LV_ENDINGS, 3)
+
+
+# ---------------------------------------------------------------------------
+# Polish: light analog of text_pl (schema.xml; the reference ships
+# StempelPolishStemFilter — a STATISTICAL, dictionary-trained stemmer).
+# No Stempel table ships here, so this is an honestly-labeled original
+# light rule set in the module's usual contract: one layer of
+# noun/adjective number+case inflection with minimum-stem guards,
+# diacritics kept (ż/ź/ł are phonemic; Stempel keeps them too). The
+# consonant alternations Stempel's tables learn (k→c, t→ci, ia→ie) are
+# NOT modeled — Stempel parity is explicitly not claimed, mirroring
+# ja_seg's framing.
+# ---------------------------------------------------------------------------
+
+_PL_ENDINGS = (
+    "iach", "iami", "iego", "iemu", "owie", "ości",
+    "iom", "iem", "ego", "emu", "ymi", "imi", "ach", "ami", "owi",
+    "ych", "ich", "ość",
+    "ów", "om", "em", "ej", "ym", "im", "ie", "ia", "iu", "ię", "ią",
+    "a", "ą", "e", "ę", "i", "o", "u", "y",
+)
+
+
+def polish_light_stem(w: str) -> str:
+    return _strip_one(w, _PL_ENDINGS, 3)

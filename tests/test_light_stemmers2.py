@@ -29,6 +29,7 @@ from nexlt_spark.stemmer_light2 import (
     indonesian_light_stem,
     norwegian_light_stem,
     persian_normalize,
+    polish_light_stem,
     romanian_light_stem,
     swedish_light_stem,
     turkish_light_stem,
@@ -208,6 +209,20 @@ CASES = {
         ],
         ("համակարգիչ", "լեզու"),
     ),
+    "pl": (
+        polish_light_stem,
+        [
+            # noun case/number; soft-stem noun; adjective; -ość abstract
+            ["książka", "książki", "książkę", "książkach", "książkami",
+             "książkom"],
+            ["tłumaczenie", "tłumaczenia", "tłumaczeniu", "tłumaczeniem",
+             "tłumaczeniach"],
+            ["nowy", "nowa", "nowe", "nowego", "nowemu", "nowych",
+             "nowymi", "nowym"],
+            ["wartość", "wartości"],
+        ],
+        ("książka", "tłumaczenie"),
+    ),
     "lv": (
         latvian_light_stem,
         [
@@ -226,7 +241,7 @@ CHAIN_OF = {
     "ro": "ro_light", "ca": "ca_light", "el": "el_light", "tr": "tr_light",
     "fa": "fa_norm", "hi": "hi_light", "id": "id_light",
     "eu": "eu_light", "ga": "ga_light", "gl": "gl_light",
-    "hy": "hy_light", "lv": "lv_light",
+    "hy": "hy_light", "lv": "lv_light", "pl": "pl_light",
 }
 
 
@@ -316,6 +331,9 @@ def batch2_corpus(spark):
         (6, "οι νέες μεταφράσεις του βιβλίου"),
         (7, "ένα βιβλίο για την ιστορία"),
         (8, "κάτι εντελώς άσχετο"),
+        (9, "nowe tłumaczenia książki gotowe"),
+        (10, "tłumaczenie starej książki"),
+        (11, "zupełnie inny temat"),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -326,6 +344,7 @@ def batch2_corpus(spark):
         ("sv_light", ["bokens"], {0, 1}),       # genitive reaches both books
         ("tr_light", ["kitaplardan"], {3, 4}),  # plural-ablative reaches both
         ("el_light", ["βιβλία"], {6, 7}),       # plural reaches both
+        ("pl_light", ["książkami"], {9, 10}),   # instrumental plural reaches both
     ],
 )
 def test_batch2_end_to_end_rank_identity(batch2_corpus, analyzer, query, want_docs):
