@@ -1,7 +1,7 @@
 """Batch-2 per-language light chains — the rest of the reference's
 dictionary-free analyzed languages.
 
-The reference's schema declares 44 text fieldTypes; round 2 shipped the
+The reference's schema declares 43 text fieldTypes; round 2 shipped the
 eight highest-traffic chains and round 3 added ja/ar/ru
 (``stemmer_light``).  This module models the remaining *dictionary-free*
 chains (solr/NeXLT/solr/collection1/conf/schema.xml): Dutch
