@@ -168,3 +168,73 @@ def test_parser_never_crashes_on_noise():
         except QueryParseError:
             continue
         assert isinstance(q, Query)
+
+
+def test_parser_roundtrip_fuzz():
+    """Semantic fuzz: build a random intended Query, render it to the raw
+    syntax, parse it back, and assert every slot survives — terms and
+    their order, mode, NOT clauses, phrase+slop, boosts, role/tool/conv
+    filters, generic fields, and normalized ts bounds. Complements the
+    noise fuzz above (which only asserts no crash)."""
+    import random
+
+    from nexlt_spark.query.parser import parse_query
+
+    words = ["spark", "join", "merge", "tables", "scan", "filter",
+             "shuffle", "codec", "batch", "plan"]
+    rng = random.Random(20260820)
+    for _ in range(500):
+        pool = rng.sample(words, 7)
+        terms = pool[:rng.randrange(1, 4)]
+        rest = pool[len(terms):]
+        mode = rng.choice(["and", "or"]) if len(terms) > 1 else "or"
+        not_terms = rest[:rng.randrange(0, 3)]
+        boost_term = rng.choice(terms) if rng.random() < 0.4 else None
+        boost = round(rng.uniform(1.5, 8.0), 1)
+        phrase = "big data" if rng.random() < 0.4 else None
+        slop = rng.randrange(1, 4) if phrase and rng.random() < 0.5 else 0
+        roles = rng.sample(["user", "assistant", "system"], rng.randrange(0, 3))
+        tool = rng.choice(["bash", "python"]) if rng.random() < 0.3 else None
+        lang = rng.choice(["en", "de"]) if rng.random() < 0.3 else None
+        ts = rng.random() < 0.3
+
+        sep = " AND " if mode == "and" else rng.choice([" OR ", " "])
+        scored = sep.join(
+            (f"{t}^{boost}" if t == boost_term else t) for t in terms
+        )
+        parts = [scored]
+        for t in not_terms:
+            parts.append(rng.choice([f"NOT {t}", f"-{t}"]))
+        if phrase:
+            parts.append(f'"{phrase}"~{slop}' if slop else f'"{phrase}"')
+        if len(roles) == 1:
+            parts.append(f"role:{roles[0]}")
+        elif len(roles) == 2:
+            parts.append(f"role:({roles[0]} OR {roles[1]})")
+        if tool:
+            parts.append(f"tool:{tool}")
+        if lang:
+            parts.append(f"lang:{lang}")
+        if ts:
+            parts.append("ts:[2026-01-05 TO 2026-03-01]")
+        tail = parts[1:]
+        rng.shuffle(tail)  # clause order must not matter
+        raw = " ".join([parts[0]] + tail)
+
+        q = parse_query(raw)
+        assert q.terms == terms, raw
+        assert q.mode == mode, raw
+        assert sorted(q.not_terms or []) == sorted(not_terms), raw
+        assert q.phrase == phrase, raw
+        assert q.phrase_slop == slop, raw
+        if boost_term:
+            assert q.boosts == {boost_term: boost}, raw
+        else:
+            assert q.boosts is None, raw
+        assert (q.filters.roles or []) == (roles or None or []), raw
+        assert (q.filters.tools or []) == ([tool] if tool else []), raw
+        if lang:
+            assert q.filters.fields == {"lang": [lang]}, raw
+        if ts:
+            assert q.filters.ts_from == "2026-01-05T00:00:00.000000", raw
+            assert q.filters.ts_to == "2026-03-01T00:00:00.000000", raw
