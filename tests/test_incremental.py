@@ -249,3 +249,53 @@ def test_rollback_restores_snapshot_and_reissues_batches(spark, batches, tmp_pat
     assert r2.batch == 1
     with pytest.raises(ValueError):
         rollback(path, 5)
+
+
+def test_random_ingest_sequences_match_lww_fold(spark, tmp_path_factory):
+    """Property fuzz over SO5/ST3/ST5: random sequences of overlapping
+    upsert batches (random conv windows, strictly increasing ts epochs)
+    must leave the store logically identical to a from-scratch build over
+    the last-write-wins fold — postings by doc_key and global stats —
+    including when the sequence compacts to a new store dir mid-way.
+    Complements the fixed 2-batch fixture above with arbitrary overlap
+    patterns."""
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(2):
+        path = str(tmp_path_factory.mktemp(f"fuzzinc{trial}"))
+        applied = []
+        n_steps = rng.randrange(3, 5)
+        for step in range(n_steps):
+            lo = rng.randrange(0, 30)
+            hi = lo + rng.randrange(5, 20)
+            b = (
+                synth_transcripts(spark, n_convs=hi, seed=11 + trial)
+                .where(F.col("conv_id") >= f"conv-{lo:08d}")
+                .withColumn(
+                    "text",
+                    F.concat(F.lit(f"v{step} "), F.coalesce("text", F.lit(""))),
+                )
+                .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {1000 * (step + 1)} DAYS"))
+                .persist()
+            )
+            ingest_batch(b, path, build_id=f"fz{trial}-{step}")
+            applied.append(b)
+            if step == n_steps - 2 and rng.random() < 0.5:
+                out = str(tmp_path_factory.mktemp(f"fuzzcomp{trial}"))
+                compact(spark, path, out, build_id=f"cp{trial}")
+                path = out
+        merged = applied[0]
+        for b in applied[1:]:
+            merged = merged.unionByName(b)
+        merged = latest_by_key(merged, ["conv_id", "turn_idx"], "ts", "role")
+        docs_exp = flatten_transcripts(merged, num_partitions=4).persist()
+        idx_exp = build_index(docs_exp)
+        live_docs = live_documents(spark, path).persist()
+        idx = live_index(spark, path)
+        assert _by_key(idx, live_docs) == _by_key(idx_exp, docs_exp), (
+            trial,
+            [m["batch"] for m in batches_done(path)],
+        )
+        assert idx.stats.n_docs == idx_exp.stats.n_docs
+        assert idx.stats.total_tokens == idx_exp.stats.total_tokens
