@@ -229,3 +229,64 @@ def test_late_straggler_update_does_not_kill_query(spark, dirs):
     assert a["n_turns"] == 2  # the straggler was folded in, not dropped
     assert a["last_at"] == T0 + timedelta(seconds=60)
     assert a["started_at"] == T0
+
+
+def test_random_activity_matches_batch_oracle(spark, tmp_path):
+    """Property fuzz: random conversation activity patterns, random
+    micro-batch chunking (ts-ordered, so the watermark advances
+    monotonically), and random SAME-CHUNK re-deliveries must aggregate
+    exactly like the batch oracle fed the identical delivered multiset —
+    the operator's contract is per-delivery counting, with idempotence
+    handled upstream by the index's LWW ingest (ST5)."""
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(2):
+        d = {
+            "drop": str(tmp_path / f"drop{trial}"),
+            "ckpt": str(tmp_path / f"ckpt{trial}"),
+            "out": str(tmp_path / f"out{trial}"),
+        }
+        sentinel_ts = T0 + timedelta(hours=8)
+        rows = []
+        n_convs = rng.randrange(8, 14)
+        for i in range(n_convs):
+            conv = f"f{trial}c{i:02d}"
+            if rng.random() < 0.25:  # stays open: recent activity
+                start = sentinel_ts - timedelta(seconds=GAP - 300)
+            else:  # closes: ends well before sentinel - GAP
+                start = T0 + timedelta(minutes=rng.randrange(0, 240))
+            for t in range(rng.randrange(1, 5)):
+                ts = start + timedelta(seconds=rng.randrange(30, 90) * t)
+                rows.append(
+                    (conv, t, rng.choice(["user", "assistant"]),
+                     f"t{trial} {i} {t} " + "x" * rng.randrange(0, 40), None, ts)
+                )
+        rows.sort(key=lambda r: r[5])
+        # random consecutive chunks + same-chunk duplicate injections
+        chunks, i = [], 0
+        while i < len(rows):
+            j = min(len(rows), i + rng.randrange(3, 10))
+            chunk = list(rows[i:j])
+            if rng.random() < 0.5:
+                chunk.append(rng.choice(chunk))  # re-delivery in-batch
+            chunks.append(chunk)
+            i = j
+        delivered = [r for c in chunks for r in c]
+        for chunk in chunks:
+            _drop(_mk(spark, chunk), d["drop"])
+        _drop(_mk(spark, [("zz", 0, "user", "sentinel", None, sentinel_ts)]), d["drop"])
+        _drain(spark, d)
+        got = _sessions(spark, d)
+
+        want = {
+            r["conv_id"]: r
+            for r in closed_sessions_batch(
+                _mk(spark, delivered), sentinel_ts, GAP
+            ).collect()
+        }
+        assert set(got) == set(want), trial
+        for conv, w in want.items():
+            g = got[conv]
+            for f in ("n_turns", "n_user_turns", "total_chars", "started_at", "last_at"):
+                assert g[f] == w[f], (trial, conv, f)
