@@ -177,3 +177,83 @@ def test_facet_date_bounds_parse_driver_side(spark):
         df, "ts", "2026-01-01T00:00:00", "2026-01-03T00:00:00.000", "+1DAY"
     )
     assert sorted(map(tuple, terse.collect())) == sorted(map(tuple, verbose.collect()))
+
+
+def test_facet_fuzz_matches_python_fold(spark):
+    """Property fuzz: random data + random refinement combos for all
+    three facet forms must match a plain-Python fold implementing the
+    documented Solr semantics (null exclusion, prefix-before-aggregate,
+    mincount, count/index sort with value-asc tiebreak, offset/limit
+    paging, facet.missing appended last, [start,end) buckets with
+    empties)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260820)
+    for trial in range(3):
+        n = rng.randrange(60, 140)
+        langs = ["en", "de", "fr", "es", None]
+        rows = [
+            (rng.choice(langs), rng.randrange(0, 200)) for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "lang string, n_chars long")
+
+        # --- facet.field with random refinements -------------------------
+        prefix = rng.choice([None, "e", "d", "z"])
+        mincount = rng.randrange(0, 4)
+        limit = rng.choice([-1, 2, 3])
+        offset = rng.choice([0, 1])
+        sort = rng.choice([None, "count", "index"])
+        missing = rng.random() < 0.5
+        got = [
+            (r["lang"], r["n"])
+            for r in facet_field_counts(
+                df, "lang", prefix, mincount, limit, offset, sort, missing
+            ).collect()
+        ]
+        vals = [v for v, _ in rows if v is not None]
+        if prefix is not None:
+            vals = [v for v in vals if v.startswith(prefix)]
+        counts = [(v, c) for v, c in Counter(vals).items() if c >= mincount]
+        eff_sort = sort or ("count" if limit >= 0 else "index")
+        if eff_sort == "count":
+            counts.sort(key=lambda t: (-t[1], t[0]))
+        else:
+            counts.sort(key=lambda t: t[0])
+        counts = counts[offset:]
+        if limit >= 0:
+            counts = counts[:limit]
+        if missing:
+            counts.append((None, sum(1 for v, _ in rows if v is None)))
+        assert got == counts, (trial, prefix, mincount, limit, offset, sort, missing)
+
+        # --- facet.query -------------------------------------------------
+        k = rng.randrange(0, 200)
+        lang_pick = rng.choice(["en", "de"])
+        preds = {
+            "small": F.col("n_chars") < k,
+            "lang it's": F.col("lang") == lang_pick,  # quote stays inert
+        }
+        gotq = {
+            r["facet"]: r["n"] for r in facet_query_counts(df, preds).collect()
+        }
+        assert gotq == {
+            "small": sum(1 for _, c in rows if c < k),
+            "lang it's": sum(1 for v, _ in rows if v == lang_pick),
+        }, trial
+
+        # --- facet.range -------------------------------------------------
+        start = rng.randrange(0, 40)
+        gap = rng.randrange(5, 40)
+        end = start + gap * rng.randrange(1, 6)
+        gotr = sorted(
+            (r["bucket_start"], r["n"])
+            for r in facet_range_counts(df, "n_chars", start, end, gap).collect()
+        )
+        wantr = []
+        for b in range((end - start) // gap):
+            lo, hi = start + b * gap, start + (b + 1) * gap
+            wantr.append(
+                (float(lo), sum(1 for _, c in rows if lo <= c < min(hi, end)))
+            )
+        assert gotr == wantr, (trial, start, end, gap)
