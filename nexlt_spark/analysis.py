@@ -77,12 +77,14 @@ CJK_TOKEN_RE = re.compile(rf"[{_CJK}]|[^\W_{_CJK}]+", re.UNICODE)
 _CJK_SINGLE = re.compile(rf"^[{_CJK}]$")
 
 
-def cjk_bigram_stream(toks: List[str]) -> List[str]:
-    """CJKBigramFilter semantics: runs of ≥2 consecutive CJK tokens become
-    overlapping bigrams (no unigrams — outputUnigrams=false default); a
-    lone CJK token passes through, as do non-CJK tokens. Positions are
-    reindexed post-filter (adjacent bigrams are adjacent tokens), which
-    keeps phrase matching self-consistent index-vs-query."""
+def _bigram_runs(toks: List[str], single_re) -> List[str]:
+    """Shared bigram-run loop: runs of ≥2 consecutive ``single_re`` tokens
+    become overlapping bigrams (no unigrams — outputUnigrams=false
+    default); a lone matching token passes through, as do non-matching
+    tokens. Positions are reindexed post-filter (adjacent bigrams are
+    adjacent tokens), which keeps phrase matching self-consistent
+    index-vs-query. Used by the CJK and Thai chains (ja_stream keeps its
+    own loop — it switches scripts mid-run)."""
     out: List[str] = []
     run: List[str] = []
 
@@ -94,13 +96,18 @@ def cjk_bigram_stream(toks: List[str]) -> List[str]:
         run.clear()
 
     for t in toks:
-        if _CJK_SINGLE.match(t):
+        if single_re.match(t):
             run.append(t)
         else:
             flush()
             out.append(t)
     flush()
     return out
+
+
+def cjk_bigram_stream(toks: List[str]) -> List[str]:
+    """CJKBigramFilter semantics over the CJK script set."""
+    return _bigram_runs(toks, _CJK_SINGLE)
 
 
 # --- Japanese (text_ja, schema.xml:725-768) -------------------------------
@@ -195,24 +202,7 @@ _THAI_SINGLE = re.compile(rf"^[{_THAI}]$")
 def th_stream(toks: List[str]) -> List[str]:
     """Bigram Thai character runs (lone Thai char passes through); pass
     non-Thai tokens unchanged."""
-    out: List[str] = []
-    run: List[str] = []
-
-    def flush():
-        if len(run) == 1:
-            out.append(run[0])
-        elif run:
-            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
-        run.clear()
-
-    for t in toks:
-        if _THAI_SINGLE.match(t):
-            run.append(t)
-        else:
-            flush()
-            out.append(t)
-    flush()
-    return out
+    return _bigram_runs(toks, _THAI_SINGLE)
 
 
 class Chain(NamedTuple):

@@ -424,10 +424,12 @@ def main() -> None:
         "fails loudly if a property disappears.",
         "",
     ]
+    unused_narratives = set(NARRATIVES)
     for title, text, must_contain, must_not in sections:
         out_lines += [f"## {title}", ""]
         if title in NARRATIVES:
             out_lines += [NARRATIVES[title], ""]
+            unused_narratives.discard(title)
         missing = [m for m in must_contain if m not in text]
         present_bad = [m for m in must_not if m in text]
         if missing:
@@ -445,6 +447,9 @@ def main() -> None:
             "",
         ]
 
+    if unused_narratives:
+        # a renamed section title must not silently drop its prose
+        failures.append(f"NARRATIVES never consumed: {sorted(unused_narratives)}")
     with open(args.out, "w") as fh:
         fh.write("\n".join(out_lines))
     print(f"wrote {args.out}", file=sys.stderr)
