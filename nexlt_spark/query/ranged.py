@@ -65,6 +65,13 @@ def _decode_group(pdf: pd.DataFrame, positions: bool):
     return term_of, ids.astype(np.int64), tfs, dls, pos_flat
 
 
+def _empty_scored() -> pd.DataFrame:
+    """The kernels' empty (doc_id, score) frame — one place to keep in
+    sync with SCORED_SCHEMA (the empty paths are rarely hit, so drift
+    would surface only in production corners)."""
+    return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+
+
 def _fold_scores_np(
     term_of: np.ndarray,
     ids: np.ndarray,
@@ -159,9 +166,7 @@ def _phrase_kernel(
                 keys = (doc_of_pos[m] << POS_BITS) + (pos_flat[m] - i)
                 alive = keys if alive is None else np.intersect1d(alive, keys)
                 if len(alive) == 0:
-                    return pd.DataFrame(
-                        {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
-                    )
+                    return _empty_scored()
             pdocs = np.unique(alive >> POS_BITS)
         else:
             # ordered sloppy window ("a b"~N): greedy minimal-end chains
@@ -176,9 +181,7 @@ def _phrase_kernel(
                 m = term_of_pos == t
                 per_tok.append(np.sort((doc_of_pos[m] << POS_BITS) + pos_flat[m]))
             if any(len(k) == 0 for k in per_tok):
-                return pd.DataFrame(
-                    {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
-                )
+                return _empty_scored()
             starts = per_tok[0]
             ends = starts.copy()
             broken = np.zeros(len(starts), dtype=bool)
@@ -196,23 +199,36 @@ def _phrase_kernel(
                 <= slop
             )
             if not ok.any():
-                return pd.DataFrame(
-                    {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
-                )
+                return _empty_scored()
             pdocs = np.unique(starts[ok] >> POS_BITS)
-        uids, sc, cnt = _fold_scores_np(
-            term_of, ids, tfs, dls, terms_sorted, idfs, avgdl
+        # fold only the phrase-matching docs: a head-term phrase ("the
+        # run") otherwise pays the full-range fold and then discards
+        # nearly all of it. Masking postings first folds the same
+        # additions in the same per-doc order, so scores stay
+        # bit-identical (asserted in tests/test_ranged.py).
+        pm = np.isin(ids, pdocs)
+        uids, sc, _ = _fold_scores_np(
+            term_of[pm], ids[pm], tfs[pm], dls[pm], terms_sorted, idfs, avgdl
         )
-        keep = np.isin(uids, pdocs, assume_unique=True)
-        return _emit(uids, sc, keep, limit)
+        return _emit(uids, sc, np.ones(len(uids), bool), limit)
 
     return score
 
 
 def _pruned_blocks(index, terms: List[str], positions: bool) -> DataFrame:
-    """Bucket-pruned, column-pruned block rows for the query terms."""
+    """Bucket-pruned, column-pruned block rows for the query terms.
+
+    Raises on a non-ranged store: the per-range kernels assume a doc's
+    postings for EVERY term share one rsalt group (index.ranged). On the
+    flat-salted layout a doc spans groups, so the fold would silently
+    fragment scores and drop AND matches — fail fast instead."""
     from pyspark.sql import functions as F
 
+    if not getattr(index, "ranged", False):
+        raise ValueError(
+            "score_ranged/phrase_score_ranged require a uniformly ranged "
+            "BlockedIndex (build with the packed builder / ranged=True)"
+        )
     b = index.blocks
     if index.n_buckets and "term_bucket" in b.columns:
         buckets = index.term_buckets(terms)
@@ -280,20 +296,25 @@ def score_ranged_masked(
     blocks here, so candidate docs are rescored exactly.
     """
 
+    # the candidate slice array is identical for every rsalt group —
+    # compute it once here (driver) and broadcast, instead of re-sorting
+    # the whole candidate set inside every kernel invocation
+    sc_ctx = blocks.sparkSession.sparkContext
+    slices_bc = sc_ctx.broadcast(np.unique(keep_bc.value >> np.int64(slice_shift)))
+
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         keep = keep_bc.value
-        slices = np.unique(keep >> np.int64(slice_shift))
+        slices = slices_bc.value
         lo = pdf["first_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
         hi = pdf["last_doc_id"].to_numpy(np.int64) >> np.int64(slice_shift)
         hits = np.searchsorted(slices, hi, "right") > np.searchsorted(slices, lo, "left")
         pdf = pdf[hits]
-        empty = pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
         if len(pdf) == 0:
-            return empty
+            return _empty_scored()
         term_of, ids, tfs, dls, _ = _decode_group(pdf, positions=False)
         m = np.isin(ids, keep)
         if not m.any():
-            return empty
+            return _empty_scored()
         uids, sc, cnt = _fold_scores_np(
             term_of[m], ids[m], tfs[m], dls[m], terms_sorted, idfs, avgdl
         )
