@@ -166,7 +166,8 @@ def prohibited_docs(index: InvertedIndex, not_terms: List[str], analyzer: str = 
     not-term exists in the index (nothing to exclude). Posting-set union —
     NOT is then a left_anti join, never a scan of documents."""
     nts = sorted(set(analyze_terms(not_terms, analyzer)))
-    present = [t for t in nts if t in index.term_dfs(nts)]
+    dfs = index.term_dfs(nts)  # ONE stats job for every NOT term
+    present = [t for t in nts if t in dfs]
     if not present:
         return None
     if hasattr(index, "lookup"):
@@ -560,8 +561,6 @@ def sorted_matches(
         excl = prohibited_docs(index, q.not_terms, an)
         if excl is not None:
             base = base.join(excl, "doc_id", "left_anti")
-    if "text_lc" not in base.columns:
-        base = base.withColumn("text_lc", F.lower(F.col("text")))
     if q.terms:
         terms = analyze_terms(q.terms, an)
         scored = score_postings(index, terms, q.mode, base.select("doc_id"))
@@ -587,6 +586,10 @@ def sorted_matches(
         if "text_lc" not in names:
             spec.append(("text_lc", "asc"))
         spec.append(("doc_id", "asc"))
+    if any(c == "text_lc" for c, _ in spec) and "text_lc" not in base.columns:
+        # synthesized ONLY when the effective order needs it — otherwise
+        # every result row would carry a lowercased copy of the text
+        base = base.withColumn("text_lc", F.lower(F.col("text")))
     return base, spec
 
 
@@ -611,6 +614,17 @@ def run_query(index: InvertedIndex, documents: DataFrame, q: Query) -> DataFrame
     # match-all / count-only: numFound (A6)
     if q.count_only:
         base = _not(filter_documents(documents, q.filters, q.exists))
+        if q.phrase:
+            # numFound must respect the phrase constraint too (A6 over
+            # Q2) — counting the unphrased match set silently inflates it
+            base = base.join(
+                phrase_docs(
+                    index, documents, tokenize(q.phrase, an), an,
+                    base.select("doc_id"), slop=q.phrase_slop,
+                ),
+                "doc_id",
+                "left_semi",
+            )
         if q.terms:
             terms = analyze_terms(q.terms, an)
             scored = score_postings(index, terms, q.mode, base.select("doc_id"))

@@ -409,3 +409,20 @@ def test_url_facet_query_not_clause_refused(index, documents):
             index, documents,
             "q=*:*&facet=true&facet.query=role:user%20-error",
         )
+
+
+def test_count_only_respects_phrase(pos_index, documents):
+    """numFound for a phrase query must count phrase MATCHES, not the
+    unphrased filter set (regression: the count_only branch ignored
+    q.phrase and returned the corpus count)."""
+    from nexlt_spark.analysis import tokenize
+    from nexlt_spark.query.exact import phrase_docs
+
+    toks = tokenize("the run", "standard")
+    want = phrase_docs(pos_index, documents, toks).count()
+    got = run_query(
+        pos_index, documents, Query(phrase="the run", count_only=True)
+    ).collect()[0]["num_found"]
+    n_all = documents.count()
+    assert got == want
+    assert 0 < got < n_all  # meaningful: some docs match, not all
