@@ -198,6 +198,8 @@ class BlockedIndex:
     # (a searcher reads its index files; it doesn't launch cluster jobs).
     store_path: str | None = None
 
+    _TERM_CACHE_CAP = 100_000
+
     def __post_init__(self) -> None:
         # driver-side term-dictionary cache: term → (df, term_bucket).
         # A Lucene/Solr searcher resolves term stats from an in-process
@@ -226,6 +228,13 @@ class BlockedIndex:
             )
         for t in missing:  # negative-cache absent terms
             self._term_cache.setdefault(t, (0, None))
+        if len(self._term_cache) > self._TERM_CACHE_CAP:
+            # a long-lived serving session sees unbounded distinct OOV
+            # strings (typos, adversarial input); evict the negative
+            # entries rather than grow driver memory forever (positive
+            # entries are bounded by the vocabulary)
+            for k in [k for k, v in self._term_cache.items() if v[0] == 0]:
+                del self._term_cache[k]
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         self._resolve_terms(terms)
@@ -250,6 +259,11 @@ class BlockedIndex:
     def lookup(self, terms: list[str], positions: bool = False) -> DataFrame:
         b = self.blocks
         if self.n_buckets and "term_bucket" in b.columns:
+            if not self.term_dfs(terms):
+                # every queried term is absent (negative-cached df=0) —
+                # short-circuit to an empty relation instead of
+                # scheduling a scan over every bucket directory
+                return decode_terms(b.where(F.lit(False)), terms, positions)
             # push a partition filter: term_bucket ∈ {bucket(t) for t in terms}
             buckets = self.term_buckets(terms)
             if buckets:
@@ -269,31 +283,23 @@ def save_blocked_index(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     range_shift: int = DEFAULT_RANGE_SHIFT,
 ) -> None:
-    blocks = build_blocks(index, salt_threshold, range_shift)
-    bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
-    (
-        blocks.withColumn("term_bucket", bucket)
-        # spread each bucket over multiple files (keyed by doc-range and
-        # first docID) so one term's blocks split across scan tasks
-        .repartition(
-            F.col("term_bucket"),
-            F.pmod(F.col("rsalt") + F.shiftright(F.col("first_doc_id"), 16), F.lit(8)),
-        )
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/postings_blocks")
+    """Build flat-path blocks from an InvertedIndex and persist them.
+
+    Delegates to packed.save_blocked so the repo has ONE store writer
+    (the two copies had drifted: this one lacked the driver-side stats
+    write and the doc_stats coalesce); the on-disk layout is unchanged
+    and load_blocked_index reads either vintage."""
+    from nexlt_spark.index.packed import save_blocked
+
+    bidx = BlockedIndex(
+        blocks=build_blocks(index, salt_threshold, range_shift),
+        doc_stats=index.doc_stats,
+        term_stats=index.term_stats,
+        stats=index.stats,
+        analyzer=index.analyzer,
+        ranged=False,
     )
-    (
-        index.term_stats.withColumn("term_bucket", bucket)
-        .write.mode("overwrite")
-        .parquet(f"{path}/term_stats")
-    )
-    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-    spark = index.postings.sparkSession
-    spark.createDataFrame(
-        [(index.stats.n_docs, index.stats.total_tokens, n_buckets, index.analyzer, False)],
-        "n_docs long, total_tokens long, n_buckets int, analyzer string, ranged boolean",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    save_blocked(bidx, path, n_buckets=n_buckets)
 
 
 def load_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:

@@ -307,35 +307,53 @@ def _merge_group_core(
     return cols
 
 
-def _group_arrays(pdf: pd.DataFrame, positions: bool, wire: str, sl=slice(None)):
-    """pdf rows [sl] (one (term,rsalt) group of packed runs) → flat
-    (ids, tfs, dls, ns, pos_flat) numpy arrays, wire-decoded."""
+def _group_cols(pdf: pd.DataFrame, positions: bool):
+    """Batch columns → numpy object arrays, converted ONCE per batch so
+    the stream kernel's per-group slicing is O(group), not O(batch)."""
+    return (
+        pdf["n"].to_numpy(np.int64),
+        pdf["doc_ids"].to_numpy(object),
+        pdf["tfs"].to_numpy(object),
+        pdf["dls"].to_numpy(object),
+        pdf["pos"].to_numpy(object) if positions else None,
+    )
+
+
+def _group_arrays_from(cols, positions: bool, wire: str, sl=slice(None)):
+    """Pre-converted batch columns [sl] (one (term,rsalt) group of packed
+    runs) → flat (ids, tfs, dls, ns, pos_flat) numpy arrays, wire-decoded."""
     from nexlt_spark.index.codec import decode_block_rows, decode_positions_rows
 
-    ns = pdf["n"].to_numpy(np.int64)[sl]
+    ns_all, id_col, tf_col, dl_col, pos_col = cols
+    ns = ns_all[sl]
     if wire == "varint":
         _, uids, utfs, udls = decode_block_rows(
-            [bytes(x) for x in pdf["doc_ids"].iloc[sl]],
-            [bytes(x) for x in pdf["tfs"].iloc[sl]],
-            [bytes(x) for x in pdf["dls"].iloc[sl]],
+            [bytes(x) for x in id_col[sl]],
+            [bytes(x) for x in tf_col[sl]],
+            [bytes(x) for x in dl_col[sl]],
             ns,
         )
         ids = uids.astype(np.int64)
         tfs = utfs.astype(np.int32)
         dls = udls.astype(np.int32)
     else:
-        ids = np.frombuffer(b"".join(pdf["doc_ids"].iloc[sl]), dtype=np.int64)
-        tfs = np.frombuffer(b"".join(pdf["tfs"].iloc[sl]), dtype=np.int32)
-        dls = np.frombuffer(b"".join(pdf["dls"].iloc[sl]), dtype=np.int32)
+        ids = np.frombuffer(b"".join(id_col[sl]), dtype=np.int64)
+        tfs = np.frombuffer(b"".join(tf_col[sl]), dtype=np.int32)
+        dls = np.frombuffer(b"".join(dl_col[sl]), dtype=np.int32)
     pos_flat = None
     if positions:
         if wire == "varint":
             pos_flat = decode_positions_rows(
-                [bytes(x) for x in pdf["pos"].iloc[sl]], tfs.astype(np.int64)
+                [bytes(x) for x in pos_col[sl]], tfs.astype(np.int64)
             )
         else:
-            pos_flat = np.frombuffer(b"".join(pdf["pos"].iloc[sl]), dtype=np.int32)
+            pos_flat = np.frombuffer(b"".join(pos_col[sl]), dtype=np.int32)
     return ids, tfs, dls, ns, pos_flat
+
+
+def _group_arrays(pdf: pd.DataFrame, positions: bool, wire: str, sl=slice(None)):
+    """One-group convenience wrapper (the applyInPandas kernel path)."""
+    return _group_arrays_from(_group_cols(pdf, positions), positions, wire, sl)
 
 
 _BLOCK_COL_NAMES = [
@@ -406,9 +424,10 @@ def _encode_packed_stream(
             gstarts = np.flatnonzero(change)
             gends = np.concatenate((gstarts[1:], [len(pdf)]))
             parts = {k: [] for k in ["term", "rsalt"] + names}
+            batch_cols = _group_cols(pdf, positions)
             for s, e in zip(gstarts, gends):
                 cols = _merge_group_core(
-                    *_group_arrays(pdf, positions, wire, slice(int(s), int(e))),
+                    *_group_arrays_from(batch_cols, positions, wire, slice(int(s), int(e))),
                     avgdl, block_size, positions,
                 )
                 if cols is None:
@@ -551,7 +570,12 @@ def build_blocked_direct(
         # Python-kernel stage down to ~14 tasks REGARDLESS of core count
         # (measured: the encode+flush stage ran 14 tasks at both 2 and 8
         # cores) — parallelism must track the cluster size instead.
-        n_part = int(posts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        conf_val = posts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n_part = int(conf_val)
+        except (TypeError, ValueError):
+            # e.g. 'auto' under Databricks AQE auto-shuffle
+            n_part = posts.sparkSession.sparkContext.defaultParallelism
         blocks = (
             posts.repartition(
                 n_part,
@@ -588,8 +612,15 @@ def save_blocked(bidx: BlockedIndex, path: str, n_buckets: int = 32) -> None:
         # Skipped when the builder already keyed its encode exchange by
         # this exact layout (build_blocked_direct stream path): the
         # parquet flush then runs inside the encode stage itself.
+        # key by rsalt AND doc-range: on a flat-path index rsalt is 0 for
+        # every non-hot term, which would collapse each bucket to ONE
+        # parquet file (single scan split per hot term at query time)
         blocks = blocks.repartition(
-            F.col("term_bucket"), F.pmod(F.col("rsalt"), F.lit(STORE_SALT_FILES))
+            F.col("term_bucket"),
+            F.pmod(
+                F.col("rsalt") + F.shiftright(F.col("first_doc_id"), 16),
+                F.lit(STORE_SALT_FILES),
+            ),
         )
     (
         blocks.write.mode("overwrite")
