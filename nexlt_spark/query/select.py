@@ -25,7 +25,13 @@ Semantics pinned to Solr where they differ from naive composition:
   existence, or a default-field phrase (the UI's ``fq enu:"…"`` text
   filter, solrTestLib_v2.js:43,53). A bare scored term inside fq has no
   non-scoring analog in the flat model and raises, rather than silently
-  perturbing scores.
+  perturbing scores. DOCUMENTED DIVERGENCE: a *phrase* fq folds into the
+  flat model's single phrase slot, whose tokens DO score and conjoin
+  with q's terms (the semantics the driver oracle and
+  tests/test_select.py::test_fq_phrase_is_nonscoring_filter pin —
+  identical to writing the phrase in q). Solr's fq would neither score
+  the phrase tokens nor flip q's OR to AND; callers needing that exact
+  behavior should pre-filter the documents table instead.
 - facet counts are computed over ALL docs matching q∧fq (one scan with
   a map-side-combined aggregate per facet call — the Solr filterCache
   analog is Catalyst reusing the cached/persisted index DataFrames).
@@ -142,6 +148,16 @@ def _merge_fq(base: Query, fq_parsed: Query) -> None:
         bf.fields = merged
 
 
+def _cast_param(name: str, value, cast):
+    """Numeric/typed URL params: a malformed value is the client's
+    error — the facade's 400 (QueryParseError), never a bare ValueError
+    (which callers would surface as a 500)."""
+    try:
+        return cast(value)
+    except (TypeError, ValueError):
+        raise QueryParseError(f"bad value for {name}: {value!r}") from None
+
+
 def _sanitize_fl(query: Query, documents: DataFrame) -> None:
     """Solr ignores fl entries naming no stored field (the response
     writer just skips them) — mirror that at the handler so a stray
@@ -153,7 +169,16 @@ def _sanitize_fl(query: Query, documents: DataFrame) -> None:
     known = set(documents.columns)
     if query.fl:
         query.fl = [c for c in query.fl if c in known] or None
-    for c, _ in query.sort or []:
+    if query.sort == [("score", "desc")]:
+        # Solr's score pseudo-field: 'sort=score desc' IS relevance
+        # order — route to the relevance path instead of 400ing
+        query.sort = None
+    for c, d in query.sort or []:
+        if c == "score":
+            raise QueryParseError(
+                "sort on 'score' is only supported as the single "
+                "'score desc' clause (relevance order)"
+            )
         if c not in known:
             raise QueryParseError(f"can not sort on undefined field {c!r}")
 
@@ -207,7 +232,7 @@ def matching_docs(index, documents: DataFrame, query: Query) -> DataFrame:
     if query.phrase and getattr(index, "has_positions", False) and getattr(index, "ranged", False):
         from nexlt_spark.query.ranged import phrase_score_ranged
 
-        matched = phrase_score_ranged(index, ptoks)
+        matched = phrase_score_ranged(index, ptoks, slop=query.phrase_slop)
         if terms and set(terms) - set(ptoks):
             extra = score_postings(index, terms, "and", base.select("doc_id"))
             matched = matched.join(extra.select("doc_id"), "doc_id", "left_semi")
@@ -215,7 +240,10 @@ def matching_docs(index, documents: DataFrame, query: Query) -> DataFrame:
     if query.phrase:
         from nexlt_spark.query.exact import phrase_docs
 
-        pd_ = phrase_docs(index, documents, ptoks, an, base.select("doc_id"))
+        pd_ = phrase_docs(
+            index, documents, ptoks, an, base.select("doc_id"),
+            slop=query.phrase_slop,
+        )
         base = base.join(pd_, "doc_id", "left_semi")
         terms = [t for t in terms if t not in ptoks] or []
         if not terms:
@@ -328,6 +356,12 @@ def select(
         default_field=default_field, synonyms=synonyms, analyzer=an,
     )
     _sanitize_fl(query, documents)
+    drop_text_after_hl = False
+    if hl and query.fl and "text" not in query.fl:
+        # Solr highlights regardless of fl — carry text through the page
+        # for snippet extraction, then drop it from the response
+        query.fl = query.fl + ["text"]
+        drop_text_after_hl = True
 
     page = run_query(index, documents, query)
     if hl:
@@ -335,6 +369,8 @@ def select(
         if query.phrase:
             hl_terms += [t for t in tokenize(query.phrase, an) if t not in hl_terms]
         page = highlight(page, hl_terms, fragsize=hl_fragsize)
+        if drop_text_after_hl:
+            page = page.drop("text")
 
     resp = SelectResponse(docs=page)
 
@@ -415,8 +451,14 @@ def select_cursor(
 
     if query.sort:
         base, spec = sorted_matches(index, documents, query)
-        page = cursor_page(base, spec, cursor_mark, rows).collect()
         flds = query.fl or [c for c in documents.columns]
+        # project before collect: fl=['role'] must not drag full text
+        # (or a synthesized text_lc) across the wire on every page of a
+        # deep export — keep only the order columns + requested fields
+        keep = list(dict.fromkeys(
+            [c for c, _ in spec] + [c for c in flds if c in base.columns]
+        ))
+        page = cursor_page(base.select(*keep), spec, cursor_mark, rows).collect()
         out = [{k: r[k] for k in flds if k in r.__fields__} for r in page]
     else:
         spec = [("score", "desc"), ("doc_id", "asc")]
@@ -593,7 +635,7 @@ def select_url(
             for p, cast in casts.items():
                 v = one(f"f.{fld}.facet.{p}") or one(f"facet.{p}")
                 if v is not None:
-                    kw[p] = cast(v)
+                    kw[p] = _cast_param(f"facet.{p}", v, cast)
             if kw:
                 facet_params[fld] = kw
     facet_query = None
@@ -611,7 +653,11 @@ def select_url(
                 if v is None:
                     raise QueryParseError(f"facet.range={col} needs facet.range.{part}")
                 return v
-            facet_range[col] = (float(rng("start")), float(rng("end")), float(rng("gap")))
+            facet_range[col] = (
+                _cast_param("facet.range.start", rng("start"), float),
+                _cast_param("facet.range.end", rng("end"), float),
+                _cast_param("facet.range.gap", rng("gap"), float),
+            )
     facet_date = None
     if faceting and params.get("facet.date"):
         facet_date = {}
@@ -628,8 +674,8 @@ def select_url(
         documents,
         q=one("q", "*:*"),
         fq=params.get("fq", []),
-        start=int(one("start", "0")),
-        rows=int(one("rows", "10")),
+        start=_cast_param("start", one("start", "0"), int),
+        rows=_cast_param("rows", one("rows", "10"), int),
         sort=sort,
         fl=fl,
         default_field=one("df", "text"),
@@ -640,6 +686,6 @@ def select_url(
         facet_date=facet_date,
         facet_params=facet_params or None,
         hl=one("hl", "false").lower() == "true",
-        hl_fragsize=int(one("hl.fragsize", "100")),
+        hl_fragsize=_cast_param("hl.fragsize", one("hl.fragsize", "100"), int),
         compute_num_found=compute_num_found,
     )

@@ -426,3 +426,51 @@ def test_count_only_respects_phrase(pos_index, documents):
     n_all = documents.count()
     assert got == want
     assert 0 < got < n_all  # meaningful: some docs match, not all
+
+
+def test_num_found_respects_phrase_slop(pos_index, documents):
+    """num_found / facet domains must use the same slop window as the
+    page (regression: matching_docs dropped phrase_slop, so a sloppy
+    page could report num_found < len(docs))."""
+    r = select(
+        pos_index, documents, q='"the run"~2', rows=1000,
+        compute_num_found=True,
+    )
+    assert r.num_found == r.docs.count()
+    tight = select(
+        pos_index, documents, q='"the run"', rows=1000, compute_num_found=True
+    )
+    assert r.num_found >= tight.num_found > 0
+
+
+def test_highlight_independent_of_fl(pos_index, documents):
+    """Solr highlights regardless of fl (regression: fl excluding text
+    crashed highlight with an unresolved-column error)."""
+    r = select(pos_index, documents, q="error", fl=["role"], hl=True, rows=5)
+    rows_ = r.docs.collect()
+    assert rows_ and "snippet" in rows_[0].asDict()
+    assert "text" not in rows_[0].asDict()
+
+
+def test_sort_score_desc_is_relevance(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    got = select_url(index, documents, "q=error&sort=score desc&rows=5").docs
+    want = select(index, documents, q="error", rows=5).docs
+    assert rows(got, "doc_id") == rows(want, "doc_id")
+    with pytest.raises(QueryParseError, match="score"):
+        select_url(index, documents, "q=error&sort=score asc")
+
+
+def test_bad_numeric_params_are_400s(index, documents):
+    from nexlt_spark.query.select import select_url
+
+    for url in (
+        "q=error&rows=ten",
+        "q=error&start=x",
+        "q=error&hl=true&hl.fragsize=big",
+        "q=error&facet=true&facet.range=n_chars&facet.range.start=low"
+        "&facet.range.end=9&facet.range.gap=3",
+    ):
+        with pytest.raises(QueryParseError):
+            select_url(index, documents, url)
