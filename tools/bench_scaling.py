@@ -86,6 +86,18 @@ def _worker(level: str, input_dir: str, repeats: int) -> None:
     }
     if master.startswith("local-cluster"):
         extra["spark.executor.memory"] = f"{EXEC_MEM_MB}m"
+        # Size each executor JVM's internal pools (GC/JIT/netty/fork-join)
+        # to its CORE QUOTA, exactly as a YARN/K8s container's cgroup
+        # limit makes the JVM do (UseContainerSupport). Without this,
+        # every executor boots unpinned, reads the machine's 32 cores,
+        # and sizes ~23 ParallelGC threads — so 4 pinned executors stack
+        # ~92 runnable GC threads onto 8 cores whenever collections
+        # coincide (measured: stage GC time 79 s vs 26 s with the quota,
+        # and erratic 2-4x CPU inflation on cache-build stages).
+        cores_per_exec = int(master.split("[", 1)[1].split(",")[1])
+        extra["spark.executor.extraJavaOptions"] = (
+            f"-XX:ActiveProcessorCount={cores_per_exec}"
+        )
     spark = get_spark(
         app_name=f"nexlt-scaling-{label}",
         master=master,
