@@ -178,6 +178,9 @@ def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: Optional[dict] =
 # planner's histogram of how block upper bounds distribute within a term
 META_QUANTS = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9)
 
+# negative (term-absent) metadata entries evicted past this cache size
+_TERM_META_CACHE_CAP = 100_000
+
 
 def _pa_ds(bidx: BlockedIndex):
     """Memoized pyarrow.dataset over the on-disk blocks store, or None
@@ -294,6 +297,13 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
         }
         for t in missing:
             cache[t] = found.get(t)  # None = absent from the index
+    if len(cache) > _TERM_META_CACHE_CAP:
+        # long-lived searcher: distinct OOV strings (typos, adversarial
+        # input) would grow the None entries forever — evict those; real
+        # entries are bounded by the vocabulary (same policy as
+        # blocks.BlockedIndex._term_cache)
+        for t in [t for t, v in cache.items() if v is None]:
+            del cache[t]
     return {t: cache[t] for t in qterms if cache.get(t) is not None}
 
 
