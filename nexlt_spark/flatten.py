@@ -19,28 +19,35 @@ Reference semantics being re-expressed (see SURVEY.md §1.4, §2.2):
 Stable docIDs at scale (SURVEY.md §7.4): a global window row_number would
 funnel everything through one task. Instead:
 
-1. ``repartitionByRange(P, conv_id, turn_idx)`` + ``sortWithinPartitions``
-   — each partition holds a contiguous, sorted key range;
-2. count rows per range-partition (P tiny rows to the driver);
-3. ``doc_id = cumulative_offset[pid] + local_rank`` computed **JVM-side**:
-   ``monotonically_increasing_id()`` is ``pid<<33 + row-index-in-iteration-
-   order``, and iteration order of the sorted (and cached) partition IS the
-   in-partition rank — so the id is a pure Column expression (offset map
-   literal + bitmask), zero Python crossings. The previous ``mapInPandas``
-   implementation round-tripped every text byte through Arrow just to add
-   an integer — measurably the scarcest resource on a shared box (BENCH.md
-   §5) and a wasted serialization pass on any cluster.
+1. **Driver-chosen range boundaries** — a seeded, bounded sample of the
+   order key (≤ ~10^5 tuples to the driver regardless of corpus size)
+   yields ``num_partitions - 1`` quantile boundaries, fixed as literals;
+2. ``_bucket`` = count of boundaries ≤ key (a single ``F.aggregate``
+   fold over the literal boundary array — struct comparison gives the
+   lexicographic order, no codegen blowup at high partition counts);
+3. per-bucket counts (map-side-combined aggregate over the pruned
+   order columns — the shuffle moves ``num_partitions`` rows, NOT the
+   corpus) → cumulative offsets on the driver;
+4. ``doc_id = offset[_bucket] + row_number() OVER (PARTITION BY _bucket
+   ORDER BY key) - 1`` — ONE corpus-wide exchange (the window's hash
+   partitioning), a per-bucket in-partition sort, zero Python crossings.
 
-Because (conv_id, turn_idx) is a unique key, the resulting doc_id equals
-the global rank of the key and is **invariant to where the sampled range
-boundaries fall** — stable across runs, resumes, and parallelism levels.
-The ranged DataFrame is persisted between the two passes so the sampled
-boundaries are computed once.
+Because boundaries are driver-side literals, every job that evaluates
+``_bucket`` sees the SAME partitioning by construction — nothing needs
+to be cached to keep two passes consistent. (The previous implementation
+relied on ``repartitionByRange``, whose per-execution sampling forces the
+ranged corpus to be **persisted** between the count pass and the id
+pass; that full-corpus cache competed with the builder's own caches for
+executor storage — measured as 2-3x bimodal flatten times under
+multi-executor memory pressure — and is simply impossible at 10^12
+turns.) And because (conv_id, turn_idx) is a unique key, the resulting
+doc_id equals the global rank of the key — invariant to where the
+boundaries fall, to parallelism, and to re-execution.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -70,57 +77,106 @@ def scrub_text(col):
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
+SAMPLE_TARGET = 131_072  # boundary-sample size collected to the driver
+SAMPLE_SEED = 42
+
+
+def _bucket_col(df: DataFrame, order_cols, boundaries) -> Column:
+    """Count of boundary tuples ≤ the row's key — the row's range-bucket
+    index, as ONE ``F.aggregate`` fold over a literal boundary array
+    (struct comparison = lexicographic key order). O(B) literals and O(B)
+    per-row work in a single expression node, so a 10^4-partition build
+    does not explode whole-stage codegen the way a 10^4-branch CASE
+    chain would. Boundary fields are cast to each column's own type —
+    struct comparison requires exact field-type agreement."""
+    dtypes = [df.schema[c].dataType for c in order_cols]
+    key = F.struct(*[F.col(c) for c in order_cols])
+    lits = [
+        F.struct(
+            *[F.lit(v).cast(t).alias(c) for c, t, v in zip(order_cols, dtypes, b)]
+        )
+        for b in boundaries
+    ]
+    if len(lits) <= 256:
+        # direct predicate sum: every comparison stays inside whole-stage
+        # codegen (an F.aggregate HOF evaluates its lambda INTERPRETED per
+        # element — measured ~60 s slower over a 4.5M-row double pass)
+        out = F.lit(0)
+        for b in lits:
+            out = out + (key >= b).cast("int")
+        return out
+    return F.aggregate(
+        F.array(*lits),
+        F.lit(0),
+        lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
+    )
+
+
 def assign_stable_ids(
     df: DataFrame, order_cols=ORDER_COLS, num_partitions: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Add a dense 0-based long ``id_col`` equal to the global rank of
-    ``order_cols`` (a unique key). Distributed; no global single-task sort.
+    ``order_cols`` (a unique key). Distributed; no global single-task
+    sort, no corpus-scale cache (module docstring) — the corpus crosses
+    exactly one exchange.
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # 2x the shuffle width: buckets hash into the window's exchange,
+        # so extra granularity smooths the balls-into-bins task skew a
+        # bucket-count == partition-count mapping would have
+        num_partitions = 2 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
 
-    ranged = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    keyed = df.select(*order_cols)  # pruned scans for sample + counts
+    n = keyed.count()
+    boundaries: list = []
+    if n > 0 and num_partitions > 1:
+        frac = min(1.0, SAMPLE_TARGET / n)
+        sampled = sorted(
+            tuple(r) for r in keyed.sample(False, frac, SAMPLE_SEED).collect()
+        )
+        if sampled:
+            # num_partitions-1 quantile keys, deduped (duplicates merge
+            # buckets — fewer, larger ranges, never wrong ids)
+            raw = [
+                sampled[(i * len(sampled)) // num_partitions]
+                for i in range(1, num_partitions)
+            ]
+            boundaries = sorted(set(raw))
+
+    bucket = _bucket_col(df, order_cols, boundaries) if boundaries else F.lit(0)
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in keyed.withColumn("_b", bucket)
+        .groupBy("_b")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    # monotonically_increasing_id packs the in-partition index into the low
-    # 33 bits; the offset arithmetic assumes no partition exceeds that
-    if counts and max(counts.values()) >= (1 << 33):
+    for b in range(len(boundaries) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    # row_number() is IntegerType — a bucket must stay under 2^31 rows
+    if counts and max(counts.values()) >= (1 << 31):
         raise ValueError(
-            "assign_stable_ids: a range partition holds >= 2^33 rows; "
+            "assign_stable_ids: a range bucket holds >= 2^31 rows; "
             "raise num_partitions"
         )
-    if not offsets:  # empty input: keep the map expression well-typed
-        offsets = {0: 0}
 
-    # literal pid → cumulative-offset map (P entries, P = shuffle partitions:
-    # a constant-folded expression, not a join); local rank = the low 33 bits
-    # of monotonically_increasing_id, valid because this projection runs in
-    # the same stage as (and therefore iterates in the order of) the cached
-    # sorted partition
-    omap = F.create_map(
-        *[F.lit(v) for pid in offsets for v in (pid, offsets[pid])]
+    from pyspark.sql.window import Window
+
+    omap = F.create_map(*[F.lit(v) for b in offsets for v in (b, offsets[b])])
+    rank = F.row_number().over(
+        Window.partitionBy("_b").orderBy(*[F.col(c) for c in order_cols])
     )
-    out = (
-        ranged.withColumn(
-            id_col,
-            (
-                omap[F.col("_pid")]
-                + F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
-            ).cast(T.LongType()),
-        )
-        .drop("_pid")
+    return (
+        df.withColumn("_b", bucket)
+        .withColumn(id_col, (omap[F.col("_b")] + rank - F.lit(1)).cast(T.LongType()))
+        .drop("_b")
     )
-    return out
 
 
 def flatten_transcripts(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
