@@ -80,23 +80,25 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--input", default=DEFAULT_INPUT)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument(
+        "--max-rows", type=int, default=0,
+        help="cap loaded rows (0 = all) — a bounded probe of host capacity",
+    )
     args = ap.parse_args()
 
     import pyarrow.dataset as ds
 
-    texts = (
-        ds.dataset(args.input, format="parquet")
-        .to_table(columns=["text"])
-        .column("text")
-        .to_pylist()
-    )
+    scanner = ds.dataset(args.input, format="parquet").scanner(columns=["text"])
+    tbl = scanner.head(args.max_rows) if args.max_rows else scanner.to_table()
+    texts = tbl.column("text").to_pylist()
     chunks = [texts[i : i + CHUNK] for i in range(0, len(texts), CHUNK)]
     print(f"{len(texts)} rows, {len(chunks)} chunks", file=sys.stderr)
 
-    lo, hi = (int(x) for x in args.levels.split(","))
+    lvls = [int(x) for x in args.levels.split(",")]
+    lo, hi = (lvls[0], lvls[-1]) if len(lvls) > 1 else (lvls[0], lvls[0])
     runs = {lo: [], hi: []}
     for _ in range(args.trials):
-        for cpus in (lo, hi):
+        for cpus in dict.fromkeys((lo, hi)):
             r = _one_level(cpus, chunks)
             runs[cpus].append(r["rows_per_sec"])
             print(json.dumps(r), file=sys.stderr)
