@@ -293,13 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # raw string in, rank-identical to the structured-query entries out.
-    # Two of the four r2 parser entries (AND / NOT raw forms) moved to
-    # pytest-only coverage (tests/test_parser.py + the full-query fuzz in
-    # tests/test_bm25_rank_identity.py) to free driver-contract slots for
-    # the round-3 pipeline ops under the driver's 50-entry check; the two
-    # kept here exercise the widest parser surface (fq merge, phrase).
+    # All four parser shapes are back under the driver contract (r4):
+    # the slot cost was paid by folding the three facet entries into one
+    # multi-mode facet_all row (the actual Solr response shape anyway).
     q["parsed_query_filtered"] = lambda s, d: _parsed(s, d, "value AND lang:en")
     q["parsed_query_phrase"] = lambda s, d: _parsed(s, d, '"table part"')
+    q["parsed_query_and"] = lambda s, d: _parsed(s, d, "text:spark AND text:join")
+    q["parsed_query_not"] = lambda s, d: _parsed(s, d, "spark NOT join")
 
     def _select_handler(s, d):  # the full /select request shape (query.select)
         from nexlt_spark.query.select import select
@@ -355,32 +355,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sorted_page"] = _sorted_page
 
-    def _facet_counts(s, d):  # A7 facet.field analog
-        return _docs(s, d).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    def _facet_all(s, d):  # A7 — facet.field + facet.query + facet.range
+        # in ONE entry (query/facets.facet_response): the three r3 facet
+        # rows folded into the single-request Solr response shape, freeing
+        # two driver-contract slots for the parser AND/NOT entries
+        from nexlt_spark.query.facets import facet_response
 
-    q["facet_counts"] = _facet_counts
-
-    def _facet_query(s, d):  # A7 facet.query: arbitrary-predicate counts
-        from nexlt_spark.query.facets import facet_query_counts
-
-        docs = _docs(s, d)
-        return facet_query_counts(
-            docs,
-            {
+        return facet_response(
+            _docs(s, d),
+            fields=["lang"],
+            predicates={
                 "en_docs": F.col("lang") == "en",
                 "long_docs": F.col("n_chars") >= 400,
                 "spark_docs": F.col("text").contains("spark"),
             },
+            ranges=[("n_chars", 0, 600, 100)],
         )
 
-    q["facet_query_counts"] = _facet_query
-
-    def _facet_range(s, d):  # A7 facet.range: bucketed counts w/ empties
-        from nexlt_spark.query.facets import facet_range_counts
-
-        return facet_range_counts(_docs(s, d), "n_chars", 0, 600, 100)
-
-    q["facet_range_counts"] = _facet_range
+    q["facet_all"] = _facet_all
 
     def _term_stats(s, d):  # A3 df/idf
         idx = _index(s, d)
@@ -675,6 +667,8 @@ def oracle_sql() -> dict[str, str]:
     o["parsed_query_filtered"] = o["bm25_filtered"]
     o["select_handler"] = o["bm25_filtered"]
     o["parsed_query_phrase"] = o["bm25_phrase"]
+    o["parsed_query_and"] = o["bm25_multi_and"]
+    o["parsed_query_not"] = o["bm25_not"]
     o["bm25_wand_or"] = _sql_bm25_2("spark", "join", "or")
     o["bm25_planned_or"] = _sql_bm25_2("spark", "join", "or")
     # ranged fused kernel must equal the same oracles as the generic plans
@@ -701,19 +695,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lower(text) AS text_lc FROM documents WHERE lang = 'en' "
         "ORDER BY lower(text) ASC, doc_id ASC LIMIT 10 OFFSET 20"
     )
-    o["facet_counts"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
-    o["facet_query_counts"] = (
-        "SELECT 'en_docs' AS facet, count(*) AS n FROM documents WHERE lang = 'en'\n"
-        "UNION ALL SELECT 'long_docs', count(*) FROM documents WHERE n_chars >= 400\n"
-        "UNION ALL SELECT 'spark_docs', count(*) FROM documents WHERE text LIKE '%spark%'"
-    )
-    o["facet_range_counts"] = (
-        "WITH spine AS (SELECT i FROM generate_series(0, 5) t(i)),\n"
-        "c AS (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS i, count(*) AS n\n"
-        "  FROM documents WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 1)\n"
-        "SELECT CAST(spine.i * 100 AS BIGINT) AS bucket_start,\n"
-        "  CAST(coalesce(c.n, 0) AS BIGINT) AS n\n"
-        "FROM spine LEFT JOIN c USING (i)"
+    o["facet_all"] = (
+        "SELECT 'field:lang' AS kind, lang AS facet, count(*) AS n\n"
+        "  FROM documents WHERE lang IS NOT NULL GROUP BY lang\n"
+        "UNION ALL SELECT 'query', 'en_docs', count(*) FROM documents WHERE lang = 'en'\n"
+        "UNION ALL SELECT 'query', 'long_docs', count(*) FROM documents WHERE n_chars >= 400\n"
+        "UNION ALL SELECT 'query', 'spark_docs', count(*) FROM documents WHERE text LIKE '%spark%'\n"
+        "UNION ALL (\n"
+        "  WITH spine AS (SELECT i FROM generate_series(0, 5) t(i)),\n"
+        "  c AS (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS i, count(*) AS n\n"
+        "    FROM documents WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 1)\n"
+        "  SELECT 'range:n_chars', CAST(CAST(spine.i * 100 AS BIGINT) AS VARCHAR),\n"
+        "    CAST(coalesce(c.n, 0) AS BIGINT)\n"
+        "  FROM spine LEFT JOIN c USING (i))"
     )
     o["term_stats"] = (
         _PRE

@@ -120,6 +120,16 @@ def assign_stable_ids(
     ``order_cols`` (a unique key). Distributed; no global single-task
     sort, no corpus-scale cache (module docstring) — the corpus crosses
     exactly one exchange.
+
+    Input contract: ``order_cols`` must be NON-NULL (checked — a null
+    key has no defined rank and would poison both the driver-side
+    boundary sort and the bucket fold) and ``df`` must be
+    **deterministic across re-executions**: the boundary-sample job, the
+    per-bucket count job, and the final id job each scan the source
+    independently, so a non-deterministic upstream (unseeded ``sample``,
+    ``limit`` over an unordered shuffle, a changing external table) can
+    silently yield colliding or non-dense ids. Materialize such inputs
+    first (write to parquet / ``localCheckpoint``).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -131,7 +141,21 @@ def assign_stable_ids(
         )
 
     keyed = df.select(*order_cols)  # pruned scans for sample + counts
-    n = keyed.count()
+    # one job yields the total AND per-column non-null counts: a null
+    # order key would make the driver-side boundary sort raise (None vs
+    # str) when sampled, or silently produce a null bucket when not
+    counts_row = keyed.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(F.col(c)).alias(f"_nn_{i}") for i, c in enumerate(order_cols)],
+    ).head()
+    n = counts_row["_n"]
+    for i, c in enumerate(order_cols):
+        if counts_row[f"_nn_{i}"] != n:
+            raise ValueError(
+                f"assign_stable_ids: order column {c!r} contains "
+                f"{n - counts_row[f'_nn_{i}']} null(s); the order key "
+                "must be non-null (it is the unique-key contract)"
+            )
     boundaries: list = []
     if n > 0 and num_partitions > 1:
         frac = min(1.0, SAMPLE_TARGET / n)

@@ -68,6 +68,12 @@ def _shingle_hashes(
     )
 
 
+# auto mode force-broadcasts the benchmark side only when it holds at
+# most this many ITEMS — real eval suites are 10^3-10^5 rows; anything
+# larger is not "a benchmark" and gets the shuffled hash join instead
+BROADCAST_MAX_BENCH_ITEMS = 200_000
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -77,6 +83,7 @@ def ngram_contamination(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Flag (corpus doc, benchmark item) pairs sharing ≥ ``min_hits``
     distinct token ``shingle_n``-grams.
@@ -86,17 +93,31 @@ def ngram_contamination(
     benchmark item in the document (1.0 = every n-gram of the item
     appears), which is the decontamination-relevant direction; Jaccard
     would divide by the big document and vanish.
+
+    ``broadcast``: True forces the broadcast hash join (caller vouches
+    the benchmark side fits executor memory), False forces the shuffled
+    join on the 8-byte shingle key, and None (default) **size-gates**: a
+    bounded ``limit(cap+1).count()`` probe of the benchmark row count
+    (stops scanning at the cap — never a full pass over a large input)
+    picks broadcast iff ≤ ``BROADCAST_MAX_BENCH_ITEMS`` items. The gate
+    exists because the API accepts ANY DataFrame as "benchmark": an
+    unconditional ``F.broadcast`` (the r3 behavior) would OOM every
+    executor if a caller passed a corpus-sized frame, while the shuffled
+    fallback degrades gracefully — the corpus shuffles 8-byte hashes,
+    never text.
     """
     c = _shingle_hashes(corpus, "doc_id", id_col, text_col, shingle_n)
     b = _shingle_hashes(benchmark, "bench_id", bench_id_col, bench_text_col, shingle_n)
+    if broadcast is None:
+        probe = benchmark.select(bench_id_col).limit(BROADCAST_MAX_BENCH_ITEMS + 1)
+        broadcast = probe.count() <= BROADCAST_MAX_BENCH_ITEMS
+    b = b.withColumnRenamed("n_shingles", "bench_shingles")
     # per-side sizes ride on the shingle rows (see _shingle_hashes), so
-    # the ONLY shuffle in the whole plan is the groupBy over join
-    # survivors — bounded by actual contamination, never by corpus size
+    # the ONLY corpus-scale shuffle in the whole plan is the groupBy over
+    # join survivors — bounded by actual contamination, never corpus size
+    # (broadcast route; the shuffled route adds one 8-byte-key exchange)
     return (
-        c.join(
-            F.broadcast(b.withColumnRenamed("n_shingles", "bench_shingles")),
-            "shingle_hash",
-        )
+        c.join(F.broadcast(b) if broadcast else b, "shingle_hash")
         .groupBy("doc_id", "bench_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
@@ -123,6 +144,7 @@ def decontaminate(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """The corpus minus every document ``ngram_contamination`` flags —
     one left_anti join on doc_id (broadcast while the flagged set is
@@ -130,6 +152,6 @@ def decontaminate(
     benchmark wholesale)."""
     flagged = ngram_contamination(
         corpus, benchmark, shingle_n, min_hits,
-        id_col, text_col, bench_id_col, bench_text_col,
+        id_col, text_col, bench_id_col, bench_text_col, broadcast,
     ).select(F.col("doc_id").alias(id_col)).distinct()
     return corpus.join(flagged, id_col, "left_anti")

@@ -60,11 +60,102 @@ def fingerprint_duplicate_groups(docs: DataFrame, text_col: str = "text", n_toke
     )
 
 
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", alg. 2): every node u links each STRICTLY
+    LARGER neighbor to min(Γ(u) ∪ {u}). Input/output: undirected edge
+    pairs (a, b), a ≠ b, deduped; only (id, id) pairs move."""
+    nbrs = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = m.select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """One small-star round: orient edges high→low; every node u links
+    its smaller neighbors (and itself) to the minimum of that set. Output
+    is canonical (a > b) by construction."""
+    d = pairs.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+    g = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        d.join(g, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionByName(g.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out
+
+
+def alternating_star_cc(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. 2014) → (doc_id, cluster_id = component min).
+
+    Converges in O(log n) rounds REGARDLESS of graph diameter — the
+    remedy for adversarially chained components where min-label
+    propagation needs diameter rounds (template families often chain:
+    doc_i ~ doc_{i+1} without doc_1 ~ doc_n). Each round shuffles only
+    (id, id) edges; the edge set shrinks monotonically toward a star
+    forest whose centers are the component minima.
+
+    ``pairs``: (a, b) edge DataFrame, any orientation, self-loops
+    ignored. Every round is localCheckpointed (same lineage-truncation
+    argument as the label-prop loop below).
+    """
+    nodes = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )  # before the self-loop filter: a node seen only in (x, x) pairs
+    # still labels itself
+    cur = (
+        pairs.select("a", "b")
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # fixed point: edge sets equal (both canonical-distinct after a
+        # small-star round ⇒ count match + empty anti-join ⟺ set equality)
+        if new.count() == cur.count() and not new.join(
+            cur.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        ).head(1):
+            cur = new
+            break
+        cur = new
+    else:
+        raise RuntimeError(
+            f"alternating_star_cc did not converge in {max_rounds} rounds "
+            "(theory: O(log n)) — this indicates a bug, not bad data"
+        )
+    # fixed point is a star forest oriented high→low: a → its component
+    # min; roots never appear on the a side and label themselves
+    star = cur.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+    return nodes.join(star, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    switch_after: int = 8,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → (doc_id,
     cluster_id), cluster_id = min doc_id in the component.
@@ -78,11 +169,12 @@ def near_dup_clusters(
     neighborhood (one groupBy per round, labels and edges only — texts
     never move). Rounds needed = graph diameter, which for near-dup
     clusters is small (members of one cluster are pairwise-similar, so
-    components are dense and shallow). A corpus with adversarially long
-    similarity chains would want the O(log n)-round alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — the cap + convergence check
-    here makes that failure loud, not silent.
+    components are dense and shallow). If the graph HASN'T converged by
+    ``switch_after`` rounds — adversarially long similarity chains, the
+    shape template families produce — the loop hands the edge set to
+    :func:`alternating_star_cc`, whose O(log n)-round bound is
+    diameter-independent, instead of burning ``max_iter`` shuffles and
+    dying (the r3 behavior: a loud RuntimeError at round 20).
 
     Each round's labels are cut from lineage with an eager
     localCheckpoint — iterative self-joins otherwise grow the LOGICAL
@@ -103,7 +195,13 @@ def near_dup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if it >= switch_after:
+            # diameter exceeds the dense-cluster assumption — switch to
+            # the O(log n) algorithm rather than chasing the chain
+            return alternating_star_cc(
+                edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            )
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), F.col("cluster_id"))
@@ -124,9 +222,8 @@ def near_dup_clusters(
         if not changed:
             break
     else:
-        raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_iter} rounds — "
-            "pathological chain diameter; use an alternating-star CC"
+        return alternating_star_cc(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         )
     return labels
 

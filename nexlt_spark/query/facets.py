@@ -131,6 +131,61 @@ def facet_range_counts(
     )
 
 
+def facet_response(
+    df: DataFrame,
+    fields=(),
+    predicates: Dict[str, Column] | None = None,
+    ranges=(),
+) -> DataFrame:
+    """All facet modes of ONE request as a single long-form frame —
+    (kind, facet, n) — the shape of a Solr /select response carrying
+    facet.field + facet.query + facet.range together
+    (AbstractFacetWidget.js:43-91 drives all three from one request).
+
+    kind = 'field:<fld>' | 'query' | 'range:<col>'; facet is the field
+    value / predicate name / bucket start, stringified so the modes
+    union. Each mode stays its own one-scan map-side-combined aggregate
+    (module docstring) — the union adds no shuffle.
+
+    ``ranges``: iterable of (col, start, end, gap) tuples. Range bucket
+    starts are emitted as integer strings (buckets are driver-computed
+    literals), keeping the string form engine-independent.
+    """
+    parts = []
+    for fld in fields:
+        c = facet_field_counts(df, fld)
+        parts.append(
+            c.select(
+                F.lit(f"field:{fld}").alias("kind"),
+                F.col(fld).cast("string").alias("facet"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+    if predicates:
+        parts.append(
+            facet_query_counts(df, predicates).select(
+                F.lit("query").alias("kind"),
+                F.col("facet"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+    for col, start, end, gap in ranges:
+        r = facet_range_counts(df, col, start, end, gap)
+        parts.append(
+            r.select(
+                F.lit(f"range:{col}").alias("kind"),
+                F.col("bucket_start").cast("long").cast("string").alias("facet"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+    if not parts:
+        raise ValueError("facet_response needs at least one facet mode")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # Solr date-math gap units (facet.date.gap "+1DAY"), in seconds. MONTH/
 # YEAR are calendar-variable in Solr; the fixed-width subset covers the
 # histogram use the reference UI puts date facets to.

@@ -178,8 +178,14 @@ def _query_blocks(bidx: BlockedIndex, present: List[str], idfs: Optional[dict] =
 # planner's histogram of how block upper bounds distribute within a term
 META_QUANTS = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9)
 
-# negative (term-absent) metadata entries evicted past this cache size
-_TERM_META_CACHE_CAP = 100_000
+# negative (term-absent) metadata entries kept at most this many; evicted
+# FIFO, oldest first. Tracked in a separate insertion-ordered dict so
+# sustained OOV traffic (typos, adversarial strings) costs O(1) per
+# query — no full-cache scan, no bulk wipe of the whole negative set
+# (ADVICE r3: the old policy scanned every entry once the combined cache
+# crossed a cap and then deleted ALL negatives at once, thrashing between
+# refetch-everything and evict-everything under steady OOV load).
+_NEG_META_CACHE_CAP = 50_000
 
 
 def _pa_ds(bidx: BlockedIndex):
@@ -238,6 +244,22 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
     if cache is None:
         cache = {}
         bidx._term_meta_cache = cache
+    negs = getattr(bidx, "_term_meta_negs", None)
+    if negs is None:
+        from collections import OrderedDict
+
+        negs = OrderedDict()  # FIFO of term-absent entries only
+        bidx._term_meta_negs = negs
+
+    def _note_negative(term: str) -> None:
+        # O(1) bounded negative cache: insert, evict oldest past the cap.
+        # Positive entries are bounded by the vocabulary and never evicted
+        # (same policy as blocks.BlockedIndex._term_cache).
+        negs[term] = None
+        if len(negs) > _NEG_META_CACHE_CAP:
+            old, _ = negs.popitem(last=False)
+            cache.pop(old, None)
+
     missing = [t for t in qterms if t not in cache]
     if missing and _pa_ds(bidx) is not None:
         # on-disk stores: read the metadata driver-side (ms, no Spark
@@ -261,6 +283,7 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
             nb = tbl.num_rows
             if nb == 0:
                 cache[t] = None
+                _note_negative(t)
                 continue
             if nb > SKIP_CACHE_MAX_BLOCKS:
                 spark_side.append(t)
@@ -296,14 +319,10 @@ def _term_meta(bidx: BlockedIndex, qterms: List[str]) -> dict:
             for r in rows
         }
         for t in missing:
-            cache[t] = found.get(t)  # None = absent from the index
-    if len(cache) > _TERM_META_CACHE_CAP:
-        # long-lived searcher: distinct OOV strings (typos, adversarial
-        # input) would grow the None entries forever — evict those; real
-        # entries are bounded by the vocabulary (same policy as
-        # blocks.BlockedIndex._term_cache)
-        for t in [t for t, v in cache.items() if v is None]:
-            del cache[t]
+            v = found.get(t)  # None = absent from the index
+            cache[t] = v
+            if v is None:
+                _note_negative(t)
     return {t: cache[t] for t in qterms if cache.get(t) is not None}
 
 

@@ -118,3 +118,29 @@ def test_plan_broadcasts_benchmark_no_shuffle_on_shingle(spark, corpus, bench_it
     # (computed row-locally pre-explode), so there is no corpus-wide
     # sizes aggregation and no corpus-sized join back.
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_broadcast_gate_routes(spark, corpus, bench_items, monkeypatch):
+    """broadcast=False must run a shuffled join on the 8-byte shingle key
+    (the graceful-degradation route for an unbounded 'benchmark' input)
+    and produce byte-identical results; the auto gate must pick it when
+    the benchmark row count exceeds the cap."""
+    import nexlt_spark.ops.contamination as C
+
+    want = sorted(
+        map(tuple, ngram_contamination(corpus, bench_items, shingle_n=5, broadcast=True).collect())
+    )
+    shuffled = ngram_contamination(corpus, bench_items, shingle_n=5, broadcast=False)
+    assert sorted(map(tuple, shuffled.collect())) == want
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    # no forced broadcast: the shingle join is a shuffled join (AQE may
+    # still pick SMJ/shuffled-hash — either is fine; BroadcastHashJoin
+    # on the shingle key is what must NOT be forced)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+    # auto gate: cap of 1 row → the 2-item benchmark takes the shuffle route
+    monkeypatch.setattr(C, "BROADCAST_MAX_BENCH_ITEMS", 1)
+    gated = C.ngram_contamination(corpus, bench_items, shingle_n=5)
+    assert sorted(map(tuple, gated.collect())) == want
+    gplan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in gplan or "ShuffledHashJoin" in gplan, gplan

@@ -98,3 +98,49 @@ def test_survivors_on_real_minhash_pairs(spark, sf_dir):
     reps = {r["cluster_id"] for r in labels.collect()}
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert reps <= kept_ids
+
+
+def test_alternating_star_matches_union_find(spark):
+    from nexlt_spark.ops.dedup import alternating_star_cc
+
+    rng = random.Random(7)
+    ids = list(range(80))
+    edges = sorted({tuple(sorted(rng.sample(ids, 2))) for _ in range(70)})
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in alternating_star_cc(pairs).collect()}
+    touched = sorted({x for e in edges for x in e})
+    assert got == _uf_components(touched, edges)
+
+
+def test_alternating_star_self_loop_singleton(spark):
+    from nexlt_spark.ops.dedup import alternating_star_cc
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "a long, b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in alternating_star_cc(pairs).collect()}
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_adversarial_chain_switches_to_star_and_converges(spark):
+    """A 1000-node path graph has diameter 999 — min-label propagation
+    would need ~1000 rounds (the r3 code raised at 20). The switch to
+    alternating large-star/small-star (O(log n) rounds) must converge and
+    still produce component-min labels."""
+    n = 1000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(_pairs_df(spark, edges), switch_after=4).collect()
+    }
+    assert len(got) == n and set(got.values()) == {0}
+
+
+def test_survivors_unchanged_with_star_path(spark):
+    """dedup_survivors semantics are identical whichever CC algorithm
+    labeled the clusters (switch_after=0 forces the star path)."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    edges = [(0, 1), (1, 2), (5, 6)]
+    labels = near_dup_clusters(_pairs_df(spark, edges), switch_after=0)
+    losers = {r["doc_id"] for r in labels.where(F.col("doc_id") != F.col("cluster_id")).collect()}
+    assert losers == {1, 2, 6}

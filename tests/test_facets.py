@@ -257,3 +257,34 @@ def test_facet_fuzz_matches_python_fold(spark):
                 (float(lo), sum(1 for _, c in rows if lo <= c < min(hi, end)))
             )
         assert gotr == wantr, (trial, start, end, gap)
+
+
+def test_facet_response_all_modes(documents):
+    """facet_response = the three modes of one request in one long-form
+    frame; each mode's rows must equal the standalone function's."""
+    from pyspark.sql import functions as F
+
+    from nexlt_spark.query.facets import facet_response
+
+    preds = {"user_turns": F.col("role") == "user"}
+    out = facet_response(
+        documents, fields=["role"], predicates=preds, ranges=[("turn_idx", 0, 10, 5)]
+    )
+    rows = out.collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"field:role", "query", "range:turn_idx"}
+    field_part = {r["facet"]: r["n"] for r in rows if r["kind"] == "field:role"}
+    want_field = {
+        r["role"]: r["n"] for r in facet_field_counts(documents, "role").collect()
+    }
+    assert field_part == {str(k): v for k, v in want_field.items()}
+    q_part = {r["facet"]: r["n"] for r in rows if r["kind"] == "query"}
+    assert q_part == {
+        "user_turns": documents.where(F.col("role") == "user").count()
+    }
+    r_part = {r["facet"]: r["n"] for r in rows if r["kind"] == "range:turn_idx"}
+    want_range = {
+        str(int(r["bucket_start"])): r["n"]
+        for r in facet_range_counts(documents, "turn_idx", 0, 10, 5).collect()
+    }
+    assert r_part == want_range

@@ -44,3 +44,18 @@ def test_doc_key_and_text_lc(documents):
         | ~F.col("text_lc").eqNullSafe(F.lower(F.col("text")))
     ).count()
     assert r == 0
+
+
+def test_null_order_key_fails_fast(spark):
+    """A null (conv_id, turn_idx) violates the unique-key contract and
+    must raise up front — not poison the driver-side boundary sort or
+    silently yield a null doc_id (ADVICE r3)."""
+    import pytest
+
+    from nexlt_spark.flatten import assign_stable_ids
+
+    df = spark.createDataFrame(
+        [("c1", 0), (None, 1), ("c2", 0)], "conv_id string, turn_idx int"
+    )
+    with pytest.raises(ValueError, match="null"):
+        assign_stable_ids(df).collect()

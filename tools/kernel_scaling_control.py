@@ -94,11 +94,10 @@ def main() -> None:
     chunks = [texts[i : i + CHUNK] for i in range(0, len(texts), CHUNK)]
     print(f"{len(texts)} rows, {len(chunks)} chunks", file=sys.stderr)
 
-    lvls = [int(x) for x in args.levels.split(",")]
-    lo, hi = (lvls[0], lvls[-1]) if len(lvls) > 1 else (lvls[0], lvls[0])
-    runs = {lo: [], hi: []}
+    lvls = list(dict.fromkeys(int(x) for x in args.levels.split(",")))
+    runs = {lvl: [] for lvl in lvls}  # ALL requested levels run
     for _ in range(args.trials):
-        for cpus in dict.fromkeys((lo, hi)):
+        for cpus in lvls:
             r = _one_level(cpus, chunks)
             runs[cpus].append(r["rows_per_sec"])
             print(json.dumps(r), file=sys.stderr)
@@ -106,12 +105,13 @@ def main() -> None:
     import statistics
 
     med = {c: statistics.median(v) for c, v in runs.items()}
-    eff = (med[hi] / med[lo]) / (hi / lo)
+    lo, hi = min(lvls), max(lvls)
+    eff = (med[hi] / med[lo]) / (hi / lo) if hi != lo else 1.0
     print(
         json.dumps(
             {
                 "metric": "kernel_scaling_control",
-                "levels": {str(c): {"rows_per_sec": med[c], "all": runs[c]} for c in (lo, hi)},
+                "levels": {str(c): {"rows_per_sec": med[c], "all": runs[c]} for c in lvls},
                 "efficiency": round(eff, 3),
             }
         )
