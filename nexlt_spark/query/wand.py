@@ -531,38 +531,111 @@ def _blocks_hit(sd: dict, cand_ids: np.ndarray) -> np.ndarray:
     )
 
 
+# decoded-block LRU (per index object, driver-resident): Zipf traffic
+# re-reads the same head-term blocks on most queries; caching the DECODED
+# arrays removes both the pyarrow fetch and the varint decode from the
+# hot serving path (the Lucene block-cache / OS-page-cache analog, one
+# level higher). Byte-bounded — decoded postings cost ~20 B each (int64
+# ids + tf/dl), so the default caps the cache at ~13M postings.
+_BLOCK_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _block_cache(bidx):
+    cache = getattr(bidx, "_decoded_block_cache", None)
+    if cache is None:
+        from collections import OrderedDict
+
+        cache = OrderedDict()
+        bidx._decoded_block_cache = cache
+        bidx._decoded_block_bytes = 0
+    return cache
+
+
 def _collect_decode(
     bidx: BlockedIndex, blocks_q: DataFrame, keys_by_term: Dict[str, np.ndarray]
 ):
     """Fetch key-selected block payloads and decode driver-side →
     (term_of, ids, tfs, dls). On-disk stores read directly with pyarrow
-    (partition/row-group pruned, ~10-100 ms, no Spark job); in-memory
+    (partition/row-group pruned, ~10-100 ms, no Spark job) through a
+    byte-bounded LRU of DECODED blocks keyed by (term, first_doc_id) —
+    repeat queries over hot terms skip fetch AND decode; in-memory
     indexes fall back to one single-stage Arrow scan collect. The caller
-    bounds the selection with DRIVER_DECODE_MAX_*."""
+    bounds the selection with DRIVER_DECODE_MAX_*. Output row order is
+    unspecified (callers fold/unique/mask — all order-insensitive)."""
     dset = _pa_ds(bidx)
     if dset is not None:
-        import pyarrow.dataset as pds
-
-        filt = None
+        cache = _block_cache(bidx)
+        hits: list = []  # (term, (ids, tfs, dls)) in request order
+        missing: Dict[str, list] = {}
         for t, firsts in keys_by_term.items():
-            if len(firsts) == 0:
-                continue
-            e = _pa_term_filter(bidx, t) & pds.field("first_doc_id").isin(
-                [int(x) for x in np.unique(firsts)]
-            )
-            filt = e if filt is None else (filt | e)
-        if filt is None:
+            for f in np.unique(firsts):
+                key = (t, int(f))
+                ent = cache.get(key)
+                if ent is not None:
+                    cache.move_to_end(key)
+                    hits.append((t, ent))
+                else:
+                    missing.setdefault(t, []).append(int(f))
+        new_entries: Dict[tuple, tuple] = {}
+        if missing:
+            import pyarrow.dataset as pds
+
+            filt = None
+            for t, firsts in missing.items():
+                e = _pa_term_filter(bidx, t) & pds.field("first_doc_id").isin(firsts)
+                filt = e if filt is None else (filt | e)
+            pdf = dset.to_table(
+                columns=["term", "first_doc_id", "n", "doc_ids", "tfs", "dls"],
+                filter=filt,
+            ).to_pandas()
+            if len(pdf):
+                ns = pdf["n"].to_numpy()
+                _, ids, tfs, dls = decode_block_rows(
+                    [bytes(x) for x in pdf["doc_ids"]],
+                    [bytes(x) for x in pdf["tfs"]],
+                    [bytes(x) for x in pdf["dls"]],
+                    ns,
+                )
+                ids = ids.astype(np.int64)
+                offs = np.concatenate([[0], np.cumsum(ns)])
+                terms_arr = pdf["term"].to_numpy()
+                firsts_arr = pdf["first_doc_id"].to_numpy()
+                for i in range(len(pdf)):
+                    key = (terms_arr[i], int(firsts_arr[i]))
+                    seg = slice(int(offs[i]), int(offs[i + 1]))
+                    ent = (ids[seg], tfs[seg], dls[seg])
+                    prev = new_entries.get(key)
+                    if prev is not None:
+                        # salted stores: several block rows share a key —
+                        # the cache entry is their concatenation (the
+                        # fetch-by-key always returns all of them)
+                        ent = tuple(
+                            np.concatenate([p, e]) for p, e in zip(prev, ent)
+                        )
+                    new_entries[key] = ent
+            for key, ent in new_entries.items():
+                cache[key] = ent
+                bidx._decoded_block_bytes += sum(a.nbytes for a in ent)
+            while bidx._decoded_block_bytes > _BLOCK_CACHE_MAX_BYTES and cache:
+                _, old = cache.popitem(last=False)
+                bidx._decoded_block_bytes -= sum(a.nbytes for a in old)
+        parts = hits + [(k[0], v) for k, v in new_entries.items()]
+        if not parts:
             empty = np.array([], dtype=np.int64)
             return np.array([], dtype=object), empty, empty, empty
-        pdf = dset.to_table(
-            columns=["term", "n", "doc_ids", "tfs", "dls"], filter=filt
-        ).to_pandas()
-    else:
-        pdf = (
-            _select_blocks_by_keys(blocks_q, keys_by_term)
-            .select("term", "n", "doc_ids", "tfs", "dls")
-            .toPandas()
+        term_of = np.concatenate(
+            [np.full(len(e[0]), t, dtype=object) for t, e in parts]
         )
+        ids = np.concatenate([e[0] for _, e in parts])
+        tfs = np.concatenate([e[1] for _, e in parts])
+        dls = np.concatenate([e[2] for _, e in parts])
+        return term_of, ids, tfs, dls
+
+    pdf = (
+        _select_blocks_by_keys(blocks_q, keys_by_term)
+        .select("term", "n", "doc_ids", "tfs", "dls")
+        .toPandas()
+    )
     if len(pdf) == 0:
         empty = np.array([], dtype=np.int64)
         return np.array([], dtype=object), empty, empty, empty
@@ -763,6 +836,28 @@ def wand_topk(
     use_driver = skip_cache and all(
         meta[t][2] <= SKIP_CACHE_MAX_BLOCKS for t in present
     )
+    # Fused one-job plan (r4): on a uniformly RANGED store, when the query
+    # would otherwise run cluster-side Spark jobs — payloads not driver-
+    # readable (in-memory store: every driver-flow step is a collect job),
+    # terms past the skip-data cap, or skip_cache=False — run the whole
+    # WAND (local θ probe → MaxScore split → kept-block candidates →
+    # exact rescore → local top-k) inside ONE applyInPandas pass per doc
+    # range. Replaces the legacy candidate-collect → rescore → merge
+    # multi-job flow (its ~1.4-1.5 s orchestration floor, VERDICT r3 #2).
+    use_fused = (
+        getattr(bidx, "ranged", False)
+        and doc_filter is None
+        and rescore == "auto"
+        and (not use_driver or _pa_ds(bidx) is None)
+    )
+    if use_fused:
+        if stats_out is not None:
+            stats_out["plan"] = "spark"
+            stats_out["spark_plan"] = "fused"
+            stats_out["fallback"] = False
+        return _wand_topk_ranged_fused(
+            bidx, spark, meta, present, k, mode, stats_out, boosts
+        )
     if stats_out is not None:
         stats_out["plan"] = "driver" if use_driver else "spark"
     if use_driver:
@@ -963,6 +1058,165 @@ def _wand_topk_driver(
     scored = _rescore(
         bidx, blocks_q, present, idfs, avgdl, n_required, bc, shift, covered,
         rescore, rescore_keys,
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _make_wand_range_kernel(
+    terms_sorted: List[str],
+    idfs: Dict[str, float],
+    avgdl: float,
+    k: int,
+    mode: str,
+    rare: Optional[str],
+    n_required: Optional[int],
+):
+    """Per-range Block-Max WAND as one numpy kernel — the Lucene
+    per-segment searcher fused into an applyInPandas group function.
+
+    Safety is entirely RANGE-LOCAL (a ranged store keeps every posting of
+    a doc, for all terms, in one rsalt group): the local θ = k-th best
+    PARTIAL score over the range's probe blocks is a lower bound of the
+    range's k-th best exact score, so the MaxScore split + kept-block cut
+    with range-local gm upper bounds can only discard docs that cannot
+    enter the range's exact top-k; candidates are rescored exactly with
+    the shared `_fold_scores_np` (bit-identical fold), and per-range
+    (score desc, doc_id asc) top-k truncation preserves the global top-k.
+    """
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        from nexlt_spark.index.codec import decode_block_rows
+        from nexlt_spark.query.ranged import _empty_scored, _fold_scores_np
+
+        terms = pdf["term"].to_numpy()
+        local = set(terms.tolist())
+        if mode == "and" and not set(terms_sorted) <= local:
+            return _empty_scored()  # a missing term ⇒ no doc in this range matches
+        firsts = pdf["first_doc_id"].to_numpy(np.int64)
+        lasts = pdf["last_doc_id"].to_numpy(np.int64)
+        mtf = pdf["max_tfnorm"].to_numpy(np.float64)
+        idf_of = np.array([idfs[t] for t in terms], dtype=np.float64)
+        ubs = idf_of * mtf
+
+        def decode(idx: np.ndarray):
+            if len(idx) == 0:
+                e = np.array([], np.int64)
+                return np.array([], object), e, e, e
+            sub = pdf.iloc[idx]
+            block_of, ids, tfs, dls = decode_block_rows(
+                [bytes(x) for x in sub["doc_ids"]],
+                [bytes(x) for x in sub["tfs"]],
+                [bytes(x) for x in sub["dls"]],
+                sub["n"].to_numpy(),
+            )
+            return sub["term"].to_numpy()[block_of], ids.astype(np.int64), tfs, dls
+
+        if mode == "and":
+            # rarest-term-driven conjunction (global df picks the driver)
+            rmask = terms == rare
+            t_r, i_r, tf_r, dl_r = decode(np.where(rmask)[0])
+            cand = np.unique(i_r)
+            if cand.size == 0:
+                return _empty_scored()
+            hit = np.searchsorted(cand, lasts, "right") > np.searchsorted(
+                cand, firsts, "left"
+            )
+            t_e, i_e, tf_e, dl_e = decode(np.where(hit & ~rmask)[0])
+            t_of = np.concatenate([t_r, t_e])
+            ids = np.concatenate([i_r, i_e])
+            tfs = np.concatenate([tf_r, tf_e])
+            dls = np.concatenate([dl_r, dl_e])
+        else:
+            # local θ probe: top-ub blocks per term present in the range
+            probe_parts = []
+            for t in local:
+                ti = np.where(terms == t)[0]
+                u = ubs[ti]
+                if u.size > PROBE_BLOCKS_PER_TERM:
+                    ti = ti[
+                        np.argpartition(u, -PROBE_BLOCKS_PER_TERM)[
+                            -PROBE_BLOCKS_PER_TERM:
+                        ]
+                    ]
+                probe_parts.append(ti)
+            p_t, p_i, p_tf, p_dl = decode(np.concatenate(probe_parts))
+            theta = 0.0
+            if p_i.size:
+                _, psc, _ = _fold_scores_np(
+                    p_t, p_i, p_tf, p_dl, terms_sorted, idfs, avgdl
+                )
+                if psc.size >= k:
+                    theta = float(np.partition(psc, -k)[-k])
+            # MaxScore split + kept-block cut with RANGE-LOCAL gms (tighter
+            # than global gm — more pruning, same guarantee range-locally)
+            gm = {t: idfs[t] * float(mtf[terms == t].max()) for t in local}
+            sum_gm = sum(gm.values())
+            non_essential = maxscore_split(sorted(local), gm, theta)
+            keep_mask = np.zeros(len(terms), bool)
+            for t in local:
+                if t in non_essential:
+                    continue
+                tmask = terms == t
+                keep_mask |= tmask & (ubs >= theta - (sum_gm - gm[t]))
+            t_k, i_k, tf_k, dl_k = decode(np.where(keep_mask)[0])
+            cand = np.unique(i_k)
+            if cand.size == 0:
+                return _empty_scored()
+            hit = np.searchsorted(cand, lasts, "right") > np.searchsorted(
+                cand, firsts, "left"
+            )
+            t_e, i_e, tf_e, dl_e = decode(np.where(hit & ~keep_mask)[0])
+            t_of = np.concatenate([t_k, t_e])
+            ids = np.concatenate([i_k, i_e])
+            tfs = np.concatenate([tf_k, tf_e])
+            dls = np.concatenate([dl_k, dl_e])
+
+        m = np.isin(ids, cand)
+        uids, sc, cnt = _fold_scores_np(
+            t_of[m], ids[m], tfs[m], dls[m], terms_sorted, idfs, avgdl
+        )
+        keep = cnt == n_required if n_required is not None else np.ones(len(uids), bool)
+        uids, sc = uids[keep], sc[keep]
+        if uids.size > k:
+            # (score desc, doc_id asc) — identical to the global ordering,
+            # so per-range truncation preserves the global top k
+            order = np.lexsort((uids, -sc))[:k]
+            uids, sc = uids[order], sc[order]
+        return pd.DataFrame({"doc_id": uids.astype(np.int64), "score": sc})
+
+    return kern
+
+
+def _wand_topk_ranged_fused(
+    bidx, spark, meta, present, k, mode, stats_out, boosts=None
+) -> DataFrame:
+    """ONE Spark job: groupBy(rsalt) → per-range WAND kernel → global
+    TakeOrderedAndProject over the ≤ k·n_ranges local winners. No
+    candidate collect, no driver cap (candidates never leave the
+    executors), no multi-job orchestration floor — the cluster regime a
+    10^10-posting head term actually takes at 100 TB."""
+    from nexlt_spark.query.ranged import SCORED_SCHEMA
+
+    n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
+    dfs = {t: meta[t][0] for t in present}
+    idfs = {t: idf(n, dfs[t]) for t in present}
+    if boosts:
+        idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
+    terms_sorted = sorted(present)
+    rare = min(present, key=lambda t: dfs[t]) if mode == "and" else None
+    n_required = len(present) if mode == "and" else None
+    kern = _make_wand_range_kernel(
+        terms_sorted, idfs, avgdl, k, mode, rare, n_required
+    )
+    cols = [
+        "term", "rsalt", "n", "first_doc_id", "last_doc_id", "max_tfnorm",
+        "doc_ids", "tfs", "dls",
+    ]
+    scored = (
+        _query_blocks(bidx, present)
+        .select(*cols)
+        .groupBy("rsalt")
+        .applyInPandas(kern, SCORED_SCHEMA)
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 

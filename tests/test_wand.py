@@ -234,3 +234,87 @@ def test_pa_ds_remote_store_uri_falls_back_to_cluster():
     assert _pa_ds(SimpleNamespace(store_path="s3a://bucket/store")) is None
     assert _pa_ds(SimpleNamespace(store_path="hdfs://nn:8020/store")) is None
     assert _pa_ds(SimpleNamespace(store_path=None)) is None
+
+
+@pytest.fixture(scope="module")
+def ranged_packed(documents):
+    from nexlt_spark.index.packed import build_blocked_direct
+
+    b = build_blocked_direct(documents, range_shift=6)
+    b.blocks = b.blocks.persist()
+    b.blocks.count()
+    return b
+
+
+@pytest.mark.parametrize("terms,mode,k", QUERIES)
+def test_wand_fused_equals_exact(index, ranged_packed, terms, mode, k):
+    """The r4 fused one-job cluster plan (in-memory ranged store routes
+    here by default) stays rank-identical to the exact path."""
+    stats = {}
+    got = _wand(ranged_packed, terms, k, mode, stats_out=stats)
+    if got or stats.get("plan"):  # absent-term shapes return before routing
+        assert stats.get("spark_plan", "fused") == "fused"
+    assert got == _exact_topk(index, terms, k, mode)
+
+
+def test_wand_fused_single_exchange(ranged_packed):
+    """One job shape: exactly one shuffle (the groupBy(rsalt) payload
+    exchange) and one pandas kernel; the top-k is TakeOrderedAndProject —
+    no candidate collect, no second pass (VERDICT r3 #2)."""
+    stats = {}
+    df = wand_topk(ranged_packed, ["spark", "index", "merge"], k=10, mode="or", stats_out=stats)
+    assert stats["plan"] == "spark" and stats["spark_plan"] == "fused"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count only the query's own plan — the cached store's BUILD lineage
+    # (inside InMemoryRelation) carries its own historical exchanges
+    own = plan.split("InMemoryRelation")[0]
+    assert own.count("Exchange hashpartitioning") == 1, own
+    assert own.count("FlatMapGroupsInPandas") == 1, own
+    assert "TakeOrderedAndProject" in own, own
+
+
+def test_wand_fused_forced_overcap(index, ranged_packed, monkeypatch):
+    """Terms past the skip-data cap (the 10^10-posting head-term case)
+    must route to the fused kernel on a ranged store, rank-identical."""
+    import nexlt_spark.query.wand as W
+
+    monkeypatch.setattr(W, "SKIP_CACHE_MAX_BLOCKS", 0)
+    # per-test caches: the shared fixture's memoized metadata was built
+    # under the real cap
+    ranged_packed._term_meta_cache = {}
+    ranged_packed._term_meta_negs = None
+    stats = {}
+    got = _wand(ranged_packed, ["the", "error"], 25, "or", stats_out=stats)
+    assert stats["spark_plan"] == "fused"
+    assert got == _exact_topk(index, ["the", "error"], 25, "or")
+    ranged_packed._term_meta_cache = {}
+    ranged_packed._term_meta_negs = None
+
+
+def test_decoded_block_lru_serves_repeats(spark, index, tmp_path_factory, monkeypatch):
+    """On-disk stores keep a byte-bounded LRU of DECODED blocks: the
+    repeat query must hit it (no new entries), return identical results,
+    and eviction must keep the byte budget."""
+    import nexlt_spark.query.wand as W
+    from nexlt_spark.index.blocks import load_blocked_index, save_blocked_index
+
+    path = str(tmp_path_factory.mktemp("wand_lru") / "idx")
+    save_blocked_index(index, path, n_buckets=8, salt_threshold=5, range_shift=6)
+    bidx = load_blocked_index(spark, path)
+    got1 = _wand(bidx, ["the", "error"], 25, "or")
+    cache = bidx._decoded_block_cache
+    assert len(cache) > 0 and bidx._decoded_block_bytes > 0
+    n_keys = len(cache)
+    got2 = _wand(bidx, ["the", "error"], 25, "or")
+    assert got2 == got1 == _exact_topk(index, ["the", "error"], 25, "or")
+    assert len(cache) == n_keys  # pure hit, nothing refetched
+    # eviction respects the byte budget and stays consistent
+    monkeypatch.setattr(W, "_BLOCK_CACHE_MAX_BYTES", 1)
+    bidx2 = load_blocked_index(spark, path)
+    got3 = _wand(bidx2, ["the", "error"], 25, "or")
+    assert got3 == got1
+    assert bidx2._decoded_block_bytes <= max(
+        s for s in [sum(a.nbytes for a in e) for e in [next(iter(bidx2._decoded_block_cache.values()))]] 
+    ) if bidx2._decoded_block_cache else True
+    # repeat under tiny budget still correct (thrashes, never wrong)
+    assert _wand(bidx2, ["the", "error"], 25, "or") == got1
