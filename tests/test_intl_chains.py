@@ -149,3 +149,101 @@ def test_intl_end_to_end_rank_identity(intl_corpus, analyzer, query, want_docs):
     oracle = OracleIndex(rows, analyzer=analyzer)
     want = [(d, round(s, 9)) for d, s in oracle.topk(Query(terms=query, k=10))]
     assert got == want
+
+
+# ---- pluggable dictionary-tokenizer slot (Chain.segmenter, r4) ------------
+
+
+def _toy_ja_segmenter(vocab):
+    """Greedy longest-match over a toy dictionary — the shape a real
+    Kuromoji/ICU binding plugs into Chain.segmenter. Characters outside
+    any dictionary word fall back to single-token emission (if they are
+    word characters at all)."""
+    from nexlt_spark.analysis import TOKEN_RE
+
+    maxlen = max(map(len, vocab))
+
+    def seg(text):
+        out, i, n = [], 0, len(text)
+        while i < n:
+            for ln in range(min(maxlen, n - i), 0, -1):
+                w = text[i : i + ln]
+                if w in vocab:
+                    out.append(w)
+                    i += ln
+                    break
+            else:
+                if TOKEN_RE.match(text[i]):
+                    out.append(text[i])
+                i += 1
+        return out
+
+    return seg
+
+
+def test_dictionary_segmenter_chain_rank_identity(spark):
+    """register_analyzer + Chain.segmenter: a dictionary-backed chain is
+    a first-class analyzer — index build, query analysis, and the oracle
+    all segment identically (index/query symmetry ⇒ BM25 rank identity),
+    proving the Kuromoji/ICU/Stempel integration point works end-to-end."""
+    from nexlt_spark.analysis import (
+        ANALYZERS,
+        Chain,
+        batch_token_codes,
+        register_analyzer,
+        tokenize,
+    )
+    from nexlt_spark.index.build import build_index
+    from nexlt_spark.oracle import OracleIndex
+    from nexlt_spark.query.exact import bm25_topk
+    from nexlt_spark.query.model import Query
+
+    vocab = {"東京", "大学", "研究", "データ", "解析", "京大"}
+    seg = _toy_ja_segmenter(vocab)
+    register_analyzer("ja_toy_dict", Chain(segmenter=seg), overwrite=True)
+    try:
+        # segmentation is longest-match, not bigram: 東京大学 → 東京, 大学
+        assert tokenize("東京大学でデータ解析", "ja_toy_dict") == [
+            "東京", "大学", "で", "データ", "解析"
+        ]
+        rows = [
+            (0, "東京大学でデータ解析の研究"),
+            (1, "大学の研究データ"),
+            (2, "全然関係ない話"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = build_index(docs, analyzer="ja_toy_dict").persist()
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(idx, docs, Query(terms=["研究"], k=10))
+            .select("doc_id", "score")
+            .collect()
+        ]
+        oracle = OracleIndex([r.asDict() for r in docs.collect()], analyzer="ja_toy_dict")
+        want = [(d, round(s, 9)) for d, s in oracle.topk(Query(terms=["研究"], k=10))]
+        assert got == want and {d for d, _ in got} == {0, 1}
+        # emit-kernel identity: the vectorized batch path segments the
+        # same way as tokenize() (the invariant every chain must hold)
+        import pandas as pd
+
+        texts = pd.Series([t for _, t in rows])
+        doc_idx, codes, uniques, lens = batch_token_codes(
+            texts, ANALYZERS["ja_toy_dict"]
+        )
+        per_doc = [[] for _ in rows]
+        for di, c in zip(doc_idx, codes):
+            per_doc[di].append(uniques[c])
+        assert per_doc == [tokenize(t, "ja_toy_dict") for _, t in rows]
+        assert list(lens) == [len(x) for x in per_doc]
+    finally:
+        ANALYZERS.pop("ja_toy_dict", None)
+
+
+def test_register_analyzer_guards_clobber():
+    import pytest as _pytest
+
+    from nexlt_spark.analysis import ANALYZERS, Chain, register_analyzer
+
+    with _pytest.raises(ValueError, match="already registered"):
+        register_analyzer("standard", Chain())
+    assert "standard" in ANALYZERS

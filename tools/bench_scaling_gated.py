@@ -118,7 +118,13 @@ def main() -> None:
     ap.add_argument("--max-minutes", type=int, default=150)
     ap.add_argument("--clean", type=float, default=CLEAN_ROWS_PER_SEC)
     ap.add_argument("--bw-clean", type=float, default=CLEAN_MEMBW_GBPS)
+    ap.add_argument(
+        "--levels", default="2,8",
+        help="lo,hi pinned-core pair (hi/lo = the N→4N cluster-size ratio)",
+    )
     args = ap.parse_args()
+    lo_lvl, hi_lvl = args.levels.split(",")
+    ratio = int(hi_lvl) / int(lo_lvl)
 
     t_end = time.time() + args.max_minutes * 60
     kept, discarded, probes = [], [], []
@@ -138,13 +144,14 @@ def main() -> None:
             time.sleep(60)
             continue
         os.sync()
-        r8 = _worker("8", args.input)
-        r2 = _worker("2", args.input)
+        r8 = _worker(hi_lvl, args.input)
+        r2 = _worker(lo_lvl, args.input)
         c1, b1, ok1 = _both_probes()
         pair = {
+            "levels": args.levels,
             "tps_2": r2["turns_per_sec"],
             "tps_8": r8["turns_per_sec"],
-            "eff": round(r8["turns_per_sec"] / r2["turns_per_sec"] / 4, 3),
+            "eff": round(r8["turns_per_sec"] / r2["turns_per_sec"] / ratio, 3),
             "probe_before": {"cpu": round(c0), "bw_gbps": round(b0, 1)},
             "probe_after": {"cpu": round(c1), "bw_gbps": round(b1, 1)},
             "phases_2": r2["phases"],
@@ -164,6 +171,7 @@ def main() -> None:
             )
     summary = {
         "metric": "scaling_efficiency_gated",
+        "levels": args.levels,
         "value": (
             round(statistics.median(p["eff"] for p in kept), 3) if kept else None
         ),
