@@ -31,10 +31,13 @@ medians. Mispredictions are bounded: both floors sit within ~0.4 s of
 each other at small stores, and the fallback guards catch the only
 shapes that lose big (kept postings past the candidate cap).
 
-**Legacy cluster-side flow** (in-memory index, or a head term whose
-skip data exceeds the driver cap): WAND pays a multi-job orchestration
-floor of ~1.2-1.5 s, so exact wins unless pruning skips tens of millions
-of postings. Route to WAND iff
+**Cluster-side flow** (in-memory index, or a head term whose skip data
+exceeds the driver cap): on a RANGED store this is the r4 fused one-job
+kernel — same single exchange as the exact plan, overhead = one probe
+decode, so WAND routes whenever pruning beats a probe's volume. On
+non-ranged stores the legacy multi-job flow still pays ~1.2-1.5 s of
+orchestration, so exact wins unless pruning skips tens of millions of
+postings; there, route to WAND iff
 
     est_postings_saved / DECODE_RATE > WAND_OVERHEAD_SEC
 
@@ -66,6 +69,7 @@ from nexlt_spark.index.blocks import BLOCK_SIZE, BlockedIndex
 from nexlt_spark.query.wand import (
     DEFAULT_CANDIDATE_CAP,
     META_QUANTS,
+    PROBE_BLOCKS_PER_TERM,
     SKIP_CACHE_MAX_BLOCKS,
     _driver_theta_probe,
     _pa_ds,
@@ -228,12 +232,23 @@ def choose_topk_path(
         meta[t][2] <= SKIP_CACHE_MAX_BLOCKS for t in meta
     ):
         return _choose_driver_plan(bidx, meta, sorted(meta), k, mode)
-    if mode == "and":
+    if mode == "and" and not getattr(bidx, "ranged", False):
         rare_df = min(m[0] for m in meta.values())
         if rare_df > DEFAULT_CANDIDATE_CAP:
             return "exact"  # candidate collect would overflow → fallback anyway
     saved = estimate_postings_saved(bidx, terms, mode)
-    return "wand" if saved is not None and saved > BREAK_EVEN_POSTINGS else "exact"
+    if saved is None:
+        return "exact"
+    if getattr(bidx, "ranged", False):
+        # r4: cluster-side WAND on a ranged store is the FUSED one-job
+        # kernel (query.wand._wand_topk_ranged_fused) — the same single
+        # groupBy(rsalt) exchange as the exact per-range plan, no
+        # candidate collect (so no cap), no multi-job floor. The only
+        # overhead over exact is the in-kernel θ probe decode, so route
+        # WAND whenever estimated pruning outweighs a probe's volume.
+        probe_cost = PROBE_BLOCKS_PER_TERM * BLOCK_SIZE * len(meta)
+        return "wand" if saved > probe_cost else "exact"
+    return "wand" if saved > BREAK_EVEN_POSTINGS else "exact"
 
 
 def topk(
