@@ -811,6 +811,7 @@ def wand_topk(
     rescore: str = "auto",
     skip_cache: bool = True,
     boosts: Optional[dict] = None,
+    as_rows: bool = False,
 ) -> DataFrame:
     """(doc_id, score) top-k via Block-Max WAND; ≡ exact path ranks+scores.
 
@@ -825,12 +826,22 @@ def wand_topk(
     telemetry (theta, blocks_total, blocks_kept, n_candidates,
     slice_shift, fallback, plan) — free on the driver plan (no extra
     Spark jobs).
+
+    as_rows=True returns a plain ``[(doc_id, score), ...]`` list (the
+    Lucene TopDocs shape) instead of a DataFrame. When the driver plan
+    serves locally the rows never touch py4j — no createDataFrame, no
+    collect — so CONCURRENT searcher threads stop serializing on the
+    single gateway socket (the r4 QPS ceiling: 8 clients × ~50 ms of
+    py4j per query waves into ~400 ms p50s). Non-local routes fall back
+    to ``.collect()`` of the DataFrame plan; results are identical.
     """
     spark = bidx.doc_stats.sparkSession
     qterms = sorted(set(terms))
     meta = _term_meta(bidx, qterms)  # one cached metadata job: df + gm
     present = [t for t in qterms if t in meta]
     if not present or (mode == "and" and len(present) < len(qterms)):
+        if as_rows:
+            return []
         return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
 
     use_driver = skip_cache and all(
@@ -855,20 +866,31 @@ def wand_topk(
             stats_out["plan"] = "spark"
             stats_out["spark_plan"] = "fused"
             stats_out["fallback"] = False
-        return _wand_topk_ranged_fused(
+        out = _wand_topk_ranged_fused(
             bidx, spark, meta, present, k, mode, stats_out, boosts
         )
+        return _df_rows(out) if as_rows else out
     if stats_out is not None:
         stats_out["plan"] = "driver" if use_driver else "spark"
     if use_driver:
-        return _wand_topk_driver(
+        out = _wand_topk_driver(
             bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-            slice_shift, stats_out, rescore, boosts,
+            slice_shift, stats_out, rescore, boosts, as_rows,
         )
-    return _wand_topk_spark(
+        if as_rows:
+            return out if isinstance(out, list) else _df_rows(out)
+        return out
+    out = _wand_topk_spark(
         bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
         slice_shift, stats_out, rescore, boosts,
     )
+    return _df_rows(out) if as_rows else out
+
+
+def _df_rows(df: DataFrame) -> list:
+    """DataFrame → [(doc_id, score)] — the as_rows fallback for routes
+    that still execute through Spark."""
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
 
 
 def _exact_fallback(bidx, present, mode, doc_filter, k, boosts=None) -> DataFrame:
@@ -885,7 +907,7 @@ def _exact_fallback(bidx, present, mode, doc_filter, k, boosts=None) -> DataFram
 
 def _wand_topk_driver(
     bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-    slice_shift, stats_out, rescore, boosts=None,
+    slice_shift, stats_out, rescore, boosts=None, as_rows=False,
 ) -> DataFrame:
     """The skip-data plan: pruning decisions on driver-resident block
     metadata, Spark jobs only over key-selected blocks (module docstring,
@@ -944,7 +966,7 @@ def _wand_topk_driver(
                 return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
             cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
-            return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+            return [] if as_rows else spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
         theta = None
         kept_mask = {rare: np.ones(sd[rare]["first"].size, dtype=bool)}
     else:
@@ -1011,7 +1033,7 @@ def _wand_topk_driver(
                 return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
             cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
-            return spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
+            return [] if as_rows else spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
 
     # ---- rescore: exact per-block intersection against candidates ----
     shift = (
@@ -1052,6 +1074,10 @@ def _wand_topk_driver(
             term_of[m], ids[m], tfs[m], dls[m], terms_sorted, idfs, avgdl
         )
         keep = cnt == n_required if n_required is not None else np.ones(len(uids), bool)
+        if as_rows:
+            u, s = uids[keep], sc[keep]
+            order = np.lexsort((u, -s))[:k]
+            return [(int(a), float(b)) for a, b in zip(u[order], s[order])]
         return _local_topk_df(spark, uids[keep], sc[keep], k)
 
     bc = spark.sparkContext.broadcast(cand_ids)

@@ -180,3 +180,32 @@ def test_rehearsed_probe_shared_with_execution(spark, index, tmp_path_factory, m
     choose_topk_path(bidx, terms, 10, "or")  # rehearses: one probe
     wand_topk(bidx, terms, k=10, mode="or").collect()  # reuses it
     assert calls["n"] == 1
+
+
+def test_topk_rows_equals_topk_dataframe(spark, index, tmp_path_factory):
+    """The rows serving API returns exactly the DataFrame route's rows on
+    both planner paths (wand / exact), and the driver-local wand route
+    schedules zero Spark jobs."""
+    from nexlt_spark.index.blocks import load_blocked_index, save_blocked_index
+    from nexlt_spark.query.planner import topk, topk_rows
+
+    path = str(tmp_path_factory.mktemp("rows_api") / "idx")
+    save_blocked_index(index, path, n_buckets=8, salt_threshold=5, range_shift=6)
+    bidx = load_blocked_index(spark, path)
+    shapes = [(["the", "error"], "or", 25), (["run", "file"], "and", 10), (["the"], "or", 5)]
+    for terms, mode, k in shapes:  # warm caches
+        topk_rows(bidx, terms, k=k, mode=mode)
+    tracker = spark.sparkContext.statusTracker()
+    for terms, mode, k in shapes:
+        stats_r, stats_d = {}, {}
+        before = tracker.getJobIdsForGroup(None)
+        rows = topk_rows(bidx, terms, k=k, mode=mode, stats_out=stats_r)
+        after = tracker.getJobIdsForGroup(None)
+        want = [
+            (r["doc_id"], r["score"])
+            for r in topk(bidx, terms, k=k, mode=mode, stats_out=stats_d).collect()
+        ]
+        assert rows == want, (terms, mode)
+        assert stats_r["path"] == stats_d["path"]
+        if stats_r["path"] == "wand" and stats_r.get("rescore_plan") == "local":
+            assert after == before, (terms, mode)  # zero py4j job traffic

@@ -44,7 +44,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from nexlt_spark.flatten import flatten_transcripts  # noqa: E402
 from nexlt_spark.index.blocks import load_blocked_index  # noqa: E402
 from nexlt_spark.index.packed import build_blocked_direct, save_blocked  # noqa: E402
-from nexlt_spark.query.planner import choose_topk_path, topk as planner_topk  # noqa: E402
+from nexlt_spark.query.planner import (  # noqa: E402
+    choose_topk_path,
+    topk as planner_topk,
+    topk_rows as planner_topk_rows,
+)
 from nexlt_spark.session import get_spark  # noqa: E402
 from nexlt_spark.synth import synth_transcripts  # noqa: E402
 
@@ -118,10 +122,12 @@ def main() -> None:
         planner_topk(sidx, list(terms), k=args.k, mode=mode).collect()
 
     def serve(q):
+        # the searcher serving shape: routed rows, no DataFrame/py4j on
+        # the driver-plan route (planner.topk_rows docstring)
         terms, mode = q
         stats = {}
         t0 = time.perf_counter()
-        planner_topk(sidx, terms, k=args.k, mode=mode, stats_out=stats).collect()
+        planner_topk_rows(sidx, terms, k=args.k, mode=mode, stats_out=stats)
         return time.perf_counter() - t0, stats.get("path", "?")
 
     out_levels = {}
