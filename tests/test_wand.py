@@ -313,8 +313,9 @@ def test_decoded_block_lru_serves_repeats(spark, index, tmp_path_factory, monkey
     bidx2 = load_blocked_index(spark, path)
     got3 = _wand(bidx2, ["the", "error"], 25, "or")
     assert got3 == got1
-    assert bidx2._decoded_block_bytes <= max(
-        s for s in [sum(a.nbytes for a in e) for e in [next(iter(bidx2._decoded_block_cache.values()))]] 
-    ) if bidx2._decoded_block_cache else True
+    # a 1-byte budget evicts every entry (each is >1 B): cache empty,
+    # byte accounting back to zero
+    assert len(bidx2._decoded_block_cache) == 0
+    assert bidx2._decoded_block_bytes == 0
     # repeat under tiny budget still correct (thrashes, never wrong)
     assert _wand(bidx2, ["the", "error"], 25, "or") == got1
