@@ -171,10 +171,18 @@ def facet_response(
         )
     for col, start, end, gap in ranges:
         r = facet_range_counts(df, col, start, end, gap)
+        # integral start/gap → integer-string buckets (the Solr response
+        # shape); fractional buckets keep their full value — the old
+        # unconditional cast('long') truncated float starts, colliding
+        # distinct buckets like 0.5 and 0.9 into '0' (ADVICE r4)
+        if float(start).is_integer() and float(gap).is_integer():
+            bucket_str = F.col("bucket_start").cast("long").cast("string")
+        else:
+            bucket_str = F.col("bucket_start").cast("double").cast("string")
         parts.append(
             r.select(
                 F.lit(f"range:{col}").alias("kind"),
-                F.col("bucket_start").cast("long").cast("string").alias("facet"),
+                bucket_str.alias("facet"),
                 F.col("n").cast("long").alias("n"),
             )
         )

@@ -217,10 +217,21 @@ def _choose_driver_plan(
 
 
 def choose_topk_path(
-    bidx: BlockedIndex, terms: List[str], k: int = 10, mode: str = "or"
+    bidx: BlockedIndex,
+    terms: List[str],
+    k: int = 10,
+    mode: str = "or",
+    has_doc_filter: bool = False,
 ) -> str:
     """'wand' or 'exact' — no Spark job beyond the memoized term-metadata
-    fill; on pyarrow-backed stores planning is pure driver-side reads."""
+    fill; on pyarrow-backed stores planning is pure driver-side reads.
+
+    has_doc_filter: wand_topk only takes the fused one-job ranged kernel
+    when doc_filter is None — with a filter, a ranged store routes 'wand'
+    into the legacy candidate-collect flow, so the candidate-cap guards
+    must apply exactly as on a non-ranged store (ADVICE r4: skipping them
+    sent over-cap filtered queries through a collect that always fell
+    back to exact — correct but wasted work)."""
     qterms = sorted(set(terms))
     meta = _term_meta(bidx, qterms)
     if not meta or len(meta) == 1:
@@ -232,14 +243,15 @@ def choose_topk_path(
         meta[t][2] <= SKIP_CACHE_MAX_BLOCKS for t in meta
     ):
         return _choose_driver_plan(bidx, meta, sorted(meta), k, mode)
-    if mode == "and" and not getattr(bidx, "ranged", False):
+    fused_route = getattr(bidx, "ranged", False) and not has_doc_filter
+    if mode == "and" and not fused_route:
         rare_df = min(m[0] for m in meta.values())
         if rare_df > DEFAULT_CANDIDATE_CAP:
             return "exact"  # candidate collect would overflow → fallback anyway
     saved = estimate_postings_saved(bidx, terms, mode)
     if saved is None:
         return "exact"
-    if getattr(bidx, "ranged", False):
+    if fused_route:
         # r4: cluster-side WAND on a ranged store is the FUSED one-job
         # kernel (query.wand._wand_topk_ranged_fused) — the same single
         # groupBy(rsalt) exchange as the exact per-range plan, no
@@ -269,7 +281,7 @@ def topk(
     unscaled metadata sketches — boosts shift θ but not the postings
     volumes the cost model measures, and a mis-route only costs latency.
     """
-    path = choose_topk_path(bidx, terms, k, mode)
+    path = choose_topk_path(bidx, terms, k, mode, has_doc_filter=doc_filter is not None)
     if stats_out is not None:
         stats_out["path"] = path
     if path == "wand":
@@ -304,7 +316,7 @@ def topk_rows(
     waving 8 clients' ~50 ms segments into ~400 ms p50s. Spark-routed
     paths fall back to ``.collect()``.
     """
-    path = choose_topk_path(bidx, terms, k, mode)
+    path = choose_topk_path(bidx, terms, k, mode, has_doc_filter=doc_filter is not None)
     if stats_out is not None:
         stats_out["path"] = path
     if path == "wand":
