@@ -74,6 +74,40 @@ STORE_SALT_FILES = 8
 PACKED_SCHEMA_POS = PACKED_SCHEMA + ", pos binary"
 _SENTINEL = ""
 
+# Arrow batch size for the BUILD actions (emit materialize, encode+
+# flush). The serving default stays at the session's 10k rows; the build
+# temporarily raises it so each JVM↔Python hop carries more work — the
+# r4 scaling forensics put the binding resource at host scheduler/IPC
+# latency on the syscall-heavy Arrow-socket path (BENCH.md §4), and hop
+# count scales inversely with batch size. 64k docs/batch ≈ 4M token
+# instances ≈ ~100-200 MB peak numpy per concurrent emit kernel — fine
+# at 8-32 workers on this box and on a 4-8 GB/executor cluster.
+# Results are batch-size-invariant: runs merge per (term, rsalt) group
+# and block boundaries depend only on docID order (tests/test_packed.py
+# asserts store equality across group_exec forms).
+BUILD_ARROW_BATCH_ROWS = int(os.environ.get("NEXLT_ARROW_BATCH_BUILD", "65536"))
+
+
+class _build_arrow_batch:
+    """Temporarily raise spark.sql.execution.arrow.maxRecordsPerBatch
+    around a build ACTION (the conf is read at execution time, so it
+    must be active when the job runs, not when the DAG is defined)."""
+
+    _KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def __init__(self, spark, rows: int = BUILD_ARROW_BATCH_ROWS):
+        self.spark, self.rows = spark, rows
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self._KEY, None)
+        self.spark.conf.set(self._KEY, str(self.rows))
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.old)
+
 
 def _emit_packed(
     doc_id_col: str,
@@ -534,10 +568,13 @@ def build_blocked_direct(
     )
     if persist_packed:
         sent = sent.persist()
-    agg = sent.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("tot"),
-    ).collect()[0]
+    with _build_arrow_batch(documents.sparkSession):
+        # materializes the packed persist (the emit pass) — big Arrow
+        # batches: fewer JVM↔Python hops per turn
+        agg = sent.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("tot"),
+        ).collect()[0]
     stats = IndexStats(n_docs=int(agg["n"]), total_tokens=int(agg["tot"]))
 
     posts = packed.where(F.col("term") != _SENTINEL)
@@ -622,11 +659,14 @@ def save_blocked(bidx: BlockedIndex, path: str, n_buckets: int = 32) -> None:
                 F.lit(STORE_SALT_FILES),
             ),
         )
-    (
-        blocks.write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/postings_blocks")
-    )
+    with _build_arrow_batch(bidx.blocks.sparkSession):
+        # the encode kernel + parquet flush run inside this action —
+        # big Arrow batches: fewer JVM↔Python hops per encoded block
+        (
+            blocks.write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings_blocks")
+        )
     spark = bidx.blocks.sparkSession
     term_stats = bidx.term_stats
     if getattr(bidx, "store_layout", None) == n_buckets:

@@ -66,8 +66,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nexlt_spark.index.blocks import BLOCK_SIZE, BlockedIndex
+from nexlt_spark.query.attrs import AttrFilter
 from nexlt_spark.query.wand import (
     DEFAULT_CANDIDATE_CAP,
+    DRIVER_DECODE_MAX_POSTINGS,
     META_QUANTS,
     PROBE_BLOCKS_PER_TERM,
     SKIP_CACHE_MAX_BLOCKS,
@@ -234,8 +236,26 @@ def choose_topk_path(
     back to exact — correct but wasted work)."""
     qterms = sorted(set(terms))
     meta = _term_meta(bidx, qterms)
-    if not meta or len(meta) == 1:
-        # single-list queries: nothing to prune, exact reads one list
+    if not meta:
+        return "exact"
+    if len(meta) == 1:
+        # single-list queries: nothing to prune between lists — but an
+        # ATTR-FILTERED single-term query on a pyarrow store still wins
+        # on the driver plan (decode one list + sidecar mask + local
+        # top-k: zero Spark jobs vs the exact scan's ~0.4 s job floor —
+        # r4's q_planned_filtered gap). has_doc_filter="attr" marks that
+        # case; a DataFrame filter (True) stays on the exact scan.
+        from nexlt_spark.query.attrs import has_attrs
+
+        t = next(iter(meta))
+        if (
+            has_doc_filter == "attr"
+            and _pa_ds(bidx) is not None
+            and has_attrs(bidx)
+            and meta[t][2] <= SKIP_CACHE_MAX_BLOCKS
+            and meta[t][0] <= DRIVER_DECODE_MAX_POSTINGS
+        ):
+            return "wand"
         return "exact"
     if mode == "and" and len(meta) < len(qterms):
         return "exact"  # empty result; exact short-circuits driver-side
@@ -263,6 +283,30 @@ def choose_topk_path(
     return "wand" if saved > BREAK_EVEN_POSTINGS else "exact"
 
 
+def _normalize_filter(doc_filter):
+    """doc_filter → (normalized_filter, has_doc_filter flag for routing).
+
+    AttrFilter: empty → dropped; otherwise routed as "attr" (the driver
+    plan can serve it sidecar-side — wand_topk lowers it itself wherever
+    the sidecar/store isn't pyarrow-readable). DataFrame: True."""
+    if doc_filter is None:
+        return None, False
+    if isinstance(doc_filter, AttrFilter):
+        if doc_filter.is_empty():
+            return None, False
+        return doc_filter, "attr"
+    return doc_filter, True
+
+
+def _exact_filter_df(bidx, doc_filter):
+    """The exact route needs the DataFrame form of the filter."""
+    if isinstance(doc_filter, AttrFilter):
+        from nexlt_spark.query.attrs import to_doc_filter_df
+
+        return to_doc_filter_df(bidx, doc_filter.filters)
+    return doc_filter
+
+
 def topk(
     bidx: BlockedIndex,
     terms: List[str],
@@ -281,7 +325,8 @@ def topk(
     unscaled metadata sketches — boosts shift θ but not the postings
     volumes the cost model measures, and a mis-route only costs latency.
     """
-    path = choose_topk_path(bidx, terms, k, mode, has_doc_filter=doc_filter is not None)
+    doc_filter, hdf = _normalize_filter(doc_filter)
+    path = choose_topk_path(bidx, terms, k, mode, has_doc_filter=hdf)
     if stats_out is not None:
         stats_out["path"] = path
     if path == "wand":
@@ -289,9 +334,10 @@ def topk(
                          stats_out=stats_out, boosts=boosts)
     from nexlt_spark.query.exact import score_postings
 
+    flt = _exact_filter_df(bidx, doc_filter)
     scored = score_postings(
-        bidx, sorted(set(terms)), mode, doc_filter,
-        per_range_limit=k if doc_filter is None else None, boosts=boosts,
+        bidx, sorted(set(terms)), mode, flt,
+        per_range_limit=k if flt is None else None, boosts=boosts,
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -316,7 +362,8 @@ def topk_rows(
     waving 8 clients' ~50 ms segments into ~400 ms p50s. Spark-routed
     paths fall back to ``.collect()``.
     """
-    path = choose_topk_path(bidx, terms, k, mode, has_doc_filter=doc_filter is not None)
+    doc_filter, hdf = _normalize_filter(doc_filter)
+    path = choose_topk_path(bidx, terms, k, mode, has_doc_filter=hdf)
     if stats_out is not None:
         stats_out["path"] = path
     if path == "wand":
@@ -325,9 +372,10 @@ def topk_rows(
         return out
     from nexlt_spark.query.exact import score_postings
 
+    flt = _exact_filter_df(bidx, doc_filter)
     scored = score_postings(
-        bidx, sorted(set(terms)), mode, doc_filter,
-        per_range_limit=k if doc_filter is None else None, boosts=boosts,
+        bidx, sorted(set(terms)), mode, flt,
+        per_range_limit=k if flt is None else None, boosts=boosts,
     )
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     return [(r["doc_id"], r["score"]) for r in top.collect()]

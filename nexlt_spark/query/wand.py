@@ -538,6 +538,43 @@ def _driver_theta_probe(
     return theta, probe_postings
 
 
+def _driver_theta_probe_filtered(
+    bidx, sd, present, idfs, avgdl, k, blocks_q, attr_f
+) -> Tuple[float, int]:
+    """θ lower bound for the ATTR-FILTERED driver OR flow: identical
+    probe blocks to _driver_theta_probe, but partial scores are masked
+    to sidecar-passing docs BEFORE the k-th is taken — θ then
+    lower-bounds the filtered k-th exact score (admissibility). Memoized
+    under a key that includes the filter's identity; the decoded probe
+    payloads themselves come from the shared block LRU, so a filtered
+    and an unfiltered probe of the same terms share the fetch."""
+    cache = getattr(bidx, "_theta_probe_cache", None)
+    if cache is None:
+        cache = ByteLRU(lambda: _THETA_CACHE_MAX_BYTES)
+        bidx._theta_probe_cache = cache
+    key = (tuple(present), tuple(idfs[t] for t in present), k, attr_f.key())
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+
+    from nexlt_spark.query.attrs import attr_passing_ids
+    from nexlt_spark.query.ranged import _fold_scores_np
+
+    probe_keys, probe_postings = _probe_block_keys(sd, idfs, present)
+    term_of, ids, tfs, dls = _collect_decode(bidx, blocks_q, probe_keys)
+    theta = 0.0
+    if ids.size:
+        keep = attr_passing_ids(bidx, attr_f.filters, np.unique(ids))
+        m = np.isin(ids, keep, assume_unique=False)
+        if m.any():
+            _, psc, _ = _fold_scores_np(
+                term_of[m], ids[m], tfs[m], dls[m], sorted(present), idfs, avgdl
+            )
+            theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
+    cache[key] = (theta, probe_postings)
+    return theta, probe_postings
+
+
 def _select_blocks_by_keys(
     blocks_q: DataFrame, keys_by_term: Dict[str, np.ndarray]
 ) -> DataFrame:
@@ -897,6 +934,24 @@ def wand_topk(
     use_driver = skip_cache and all(
         meta[t][2] <= SKIP_CACHE_MAX_BLOCKS for t in present
     )
+    # fq filters: an AttrFilter is served DRIVER-SIDE (candidates/θ
+    # masked against the doc_attrs sidecar, zero extra Spark jobs) when
+    # the driver plan runs on a pyarrow-readable store with the sidecar
+    # present; every other route lowers it to the legacy DataFrame form
+    # (identical clauses — both go through filter_documents).
+    from nexlt_spark.query.attrs import AttrFilter, has_attrs, to_doc_filter_df
+
+    attr_f = doc_filter if isinstance(doc_filter, AttrFilter) else None
+    if attr_f is not None:
+        if attr_f.is_empty():
+            doc_filter = attr_f = None
+        elif (
+            not use_driver or _pa_ds(bidx) is None or not has_attrs(bidx)
+        ):
+            doc_filter = to_doc_filter_df(bidx, attr_f.filters)
+            attr_f = None
+        else:
+            doc_filter = None  # the driver flow applies the filter itself
     # Fused one-job plan (r4): on a uniformly RANGED store, when the query
     # would otherwise run cluster-side Spark jobs — payloads not driver-
     # readable (in-memory store: every driver-flow step is a collect job),
@@ -922,10 +977,12 @@ def wand_topk(
         return _df_rows(out) if as_rows else out
     if stats_out is not None:
         stats_out["plan"] = "driver" if use_driver else "spark"
+        if attr_f is not None:
+            stats_out["attr_filtered"] = True
     if use_driver:
         out = _wand_topk_driver(
             bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-            slice_shift, stats_out, rescore, boosts, as_rows,
+            slice_shift, stats_out, rescore, boosts, as_rows, attr_f,
         )
         if as_rows:
             return out if isinstance(out, list) else _df_rows(out)
@@ -957,7 +1014,7 @@ def _exact_fallback(bidx, present, mode, doc_filter, k, boosts=None) -> DataFram
 
 def _wand_topk_driver(
     bidx, spark, meta, present, k, mode, doc_filter, candidate_cap,
-    slice_shift, stats_out, rescore, boosts=None, as_rows=False,
+    slice_shift, stats_out, rescore, boosts=None, as_rows=False, attr_f=None,
 ) -> DataFrame:
     """The skip-data plan: pruning decisions on driver-resident block
     metadata, Spark jobs only over key-selected blocks (module docstring,
@@ -966,8 +1023,13 @@ def _wand_topk_driver(
     one single-stage Arrow scan and decode/fold/top-k run in numpy
     (bit-identical to the Column fold via ranged._fold_scores_np), so a
     pruning-friendly query costs 2 (AND) or 3 (OR) shuffle-free scan
-    jobs total. doc_filter forces the cluster-side steps (θ and
-    candidates must reflect the filter, which lives in a DataFrame)."""
+    jobs total. A DataFrame doc_filter forces the cluster-side steps (θ
+    and candidates must reflect the filter); an AttrFilter (attr_f) stays
+    driver-side — candidates and the θ probe are masked against the
+    doc_attrs sidecar (query.attrs), cost ∝ candidates, zero extra
+    Spark jobs (VERDICT r4 next #3: the fq query class no longer pays
+    the full-scan floor)."""
+    from nexlt_spark.query.attrs import attr_passing_ids, to_doc_filter_df
     from nexlt_spark.query.ranged import _fold_scores_np
 
     n, avgdl = bidx.stats.n_docs, bidx.stats.avgdl
@@ -978,10 +1040,21 @@ def _wand_topk_driver(
     n_required = len(present) if mode == "and" else None
     terms_sorted = sorted(present)
 
+    def _df_filter():
+        # cluster-route form of the active filter (lazy: only routes that
+        # genuinely need a DataFrame pay the conversion)
+        if doc_filter is not None:
+            return doc_filter
+        if attr_f is not None:
+            return to_doc_filter_df(bidx, attr_f.filters)
+        return None
+
     if mode == "and":
         rare = min(present, key=lambda t: dfs[t])
-        if doc_filter is None and dfs[rare] > candidate_cap:
+        if doc_filter is None and attr_f is None and dfs[rare] > candidate_cap:
             # certain overflow, known from cached df — zero wasted jobs
+            # (with a filter the SURVIVING candidates may fit, so the
+            # filtered flows keep going and cap-check after masking)
             if stats_out is not None:
                 stats_out["fallback"] = True
             return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
@@ -1000,20 +1073,28 @@ def _wand_topk_driver(
         # decoded via its (already-complete) key set.
         rare_keys = {rare: sd[rare]["first"]}
         if doc_filter is None and _fits(rare_keys, dfs[rare]):
-            # dfs[rare] ≤ candidate_cap already (pre-check above), and a
-            # term's postings are doc-unique → candidates = decoded ids
+            # a term's postings are doc-unique → candidates = decoded ids
             _, ids, _, _ = _collect_decode(bidx, blocks_q, rare_keys)
             cand_ids = np.unique(ids)
+            if attr_f is not None:
+                # sidecar mask, cost ∝ |candidates|; cap-check AFTER
+                # masking (the pre-check was skipped for filtered calls)
+                cand_ids = attr_passing_ids(bidx, attr_f.filters, cand_ids)
+            if cand_ids.size > candidate_cap:
+                if stats_out is not None:
+                    stats_out["fallback"] = True
+                return _exact_fallback(bidx, present, mode, _df_filter(), k, boosts)
         else:
             cand_rows = _decode_filtered(_select_blocks_by_keys(blocks_q, rare_keys))
             cand_df = cand_rows.select("doc_id")
-            if doc_filter is not None:
-                cand_df = cand_df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+            flt = _df_filter()
+            if flt is not None:
+                cand_df = cand_df.join(flt.select("doc_id"), "doc_id", "left_semi")
             cand = cand_df.limit(candidate_cap + 1).collect()
             if len(cand) > candidate_cap:
                 if stats_out is not None:
                     stats_out["fallback"] = True
-                return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
+                return _exact_fallback(bidx, present, mode, _df_filter(), k, boosts)
             cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return [] if as_rows else spark.createDataFrame([], EMPTY_SCORED_SCHEMA)
@@ -1024,7 +1105,15 @@ def _wand_topk_driver(
         gm = {t: idfs[t] * meta[t][1] for t in present}
         sum_gm = sum(gm.values())
 
-        if doc_filter is None:
+        if doc_filter is None and attr_f is not None:
+            # filtered θ: mask the probe's partial scores to sidecar-
+            # passing docs BEFORE taking the k-th — admissible (the
+            # filtered k-th partial ≤ the filtered k-th exact score;
+            # fewer survivors only LOWER θ, widening kept blocks)
+            theta, _ = _driver_theta_probe_filtered(
+                bidx, sd, present, idfs, avgdl, k, blocks_q, attr_f
+            )
+        elif doc_filter is None:
             # probe payloads are ≤ 16·|T| blocks by construction — always
             # a driver decode; partial fold in numpy (≡ fold_scores bits).
             # Memoized: when the planner already rehearsed this query,
@@ -1053,9 +1142,14 @@ def _wand_topk_driver(
             present, sd, idfs, gm, sum_gm, theta, non_essential
         )
         kept_postings = int(sum(sd[t]["n"][kept_mask[t]].sum() for t in present))
-        if doc_filter is None and kept_postings > candidate_cap * len(present):
+        if (
+            doc_filter is None
+            and attr_f is None
+            and kept_postings > candidate_cap * len(present)
+        ):
             # distinct candidates ≥ Σn/|terms| > cap — overflow is certain
             # before any candidate job runs (v3's 11.5 s or_head2 case).
+            # With a filter the surviving set may fit: keep going.
             if stats_out is not None:
                 stats_out["fallback"] = True
             return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
@@ -1064,23 +1158,26 @@ def _wand_topk_driver(
         if doc_filter is None and _fits(kept_keys, kept_postings):
             _, ids, _, _ = _collect_decode(bidx, blocks_q, kept_keys)
             cand_ids = np.unique(ids)
+            if attr_f is not None:
+                cand_ids = attr_passing_ids(bidx, attr_f.filters, cand_ids)
             if cand_ids.size > candidate_cap:
                 if stats_out is not None:
                     stats_out["fallback"] = True
-                return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
+                return _exact_fallback(bidx, present, mode, _df_filter(), k, boosts)
         else:
             cand_df = (
                 _decode_filtered(_select_blocks_by_keys(blocks_q, kept_keys))
                 .select("doc_id")
                 .distinct()
             )
-            if doc_filter is not None:
-                cand_df = cand_df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+            flt = _df_filter()
+            if flt is not None:
+                cand_df = cand_df.join(flt.select("doc_id"), "doc_id", "left_semi")
             cand = cand_df.limit(candidate_cap + 1).collect()
             if len(cand) > candidate_cap:
                 if stats_out is not None:
                     stats_out["fallback"] = True
-                return _exact_fallback(bidx, present, mode, doc_filter, k, boosts)
+                return _exact_fallback(bidx, present, mode, _df_filter(), k, boosts)
             cand_ids = np.sort(np.array([r["doc_id"] for r in cand], dtype=np.int64))
         if cand_ids.size == 0:
             return [] if as_rows else spark.createDataFrame([], EMPTY_SCORED_SCHEMA)

@@ -38,6 +38,18 @@ def get_spark(
         # Arrow everywhere — all our UDFs are pandas_udf/applyInPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # JVM↔Python socket buffers (both sides read spark.buffer.size:
+        # PythonRunner's BufferedOutputStream and the worker's
+        # sock.makefile via SPARK_BUFFER_SIZE). The 64 KiB default costs
+        # one write+read syscall pair per 64 KiB of Arrow traffic; at
+        # 1 MiB the same traffic crosses in 16× fewer syscalls — the
+        # r4 scaling forensics isolated host scheduler/IPC latency on
+        # exactly this syscall-heavy socket path as the binding resource
+        # (BENCH.md §4), so the pipeline now does fewer, larger hops.
+        .config(
+            "spark.buffer.size",
+            os.environ.get("NEXLT_BUFFER_SIZE", str(1024 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Deterministic timestamp behavior for parquet round-trips.
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
