@@ -72,6 +72,32 @@ def _blocked_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def _attr_store(spark: SparkSession, sf_dir: str):
+    """On-disk packed store + doc_attrs sidecar (cached per sf): the
+    serving shape the r5 attr-filtered driver WAND and driver phrase
+    plans need (pyarrow-readable store_path)."""
+    key = ("attr_store", sf_dir)
+    if key not in _INDEX_CACHE:
+        import os
+        import tempfile
+
+        from nexlt_spark.deploy import ensure_shipped
+        from nexlt_spark.index.blocks import load_blocked_index
+        from nexlt_spark.index.packed import build_blocked_direct, save_blocked
+        from nexlt_spark.query.attrs import save_doc_attrs
+
+        ensure_shipped(spark)
+        path = os.path.join(tempfile.mkdtemp(prefix="nexlt-entry-attr-"), "idx")
+        docs = _docs(spark, sf_dir)
+        save_blocked(
+            build_blocked_direct(docs, range_shift=8, positions=True), path,
+            n_buckets=8,
+        )
+        save_doc_attrs(docs, path)
+        _INDEX_CACHE[key] = load_blocked_index(spark, path)
+    return _INDEX_CACHE[key]
+
+
 def _bm25(spark, sf_dir, terms, k=10, mode="or", lang=None, phrase=None, not_terms=None):
     """BM25 top-k over documents.parquet; (doc_id, score) rounded 6dp.
 
@@ -191,8 +217,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_single_term"] = lambda s, d: _bm25(s, d, ["spark"], k=10)  # Q1/O3
     q["bm25_multi_or"] = lambda s, d: _bm25(s, d, ["spark", "join"], k=10)  # Q4/SO3
     q["bm25_multi_and"] = lambda s, d: _bm25(s, d, ["spark", "join"], k=10, mode="and")  # J4
-    q["bm25_phrase"] = lambda s, d: _bm25(s, d, [], k=10, phrase="table part")  # Q2
-    q["bm25_filtered"] = lambda s, d: _bm25(s, d, ["value"], k=10, lang="en")  # SO1/SO2
+    def _bm25_phrase_driver(s, d):  # Q2 — r5 driver phrase plan: leapfrog
+        # AND over skip data, positions fetched only for survivors'
+        # blocks (query/phrase_driver.py); ≡ the exact fused phrase plan
+        # (tests/test_phrase_driver.py); same oracle SQL as always.
+        from nexlt_spark.analysis import tokenize
+        from nexlt_spark.query.phrase_driver import phrase_topk
+
+        top = phrase_topk(_attr_store(s, d), tokenize("table part"), k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_phrase"] = _bm25_phrase_driver
+    def _bm25_attr_filtered(s, d):  # SO1/SO2 — r5 attr-filtered driver WAND:
+        # fq evaluated against the doc_attrs sidecar driver-side
+        # (query/attrs.py), rank-identical to the exact filtered scan
+        # (tests/test_attr_filter.py); same oracle SQL as always.
+        from nexlt_spark.query.attrs import AttrFilter
+        from nexlt_spark.query.model import QueryFilters
+        from nexlt_spark.query.planner import topk
+
+        top = topk(
+            _attr_store(s, d), ["value"], k=10,
+            doc_filter=AttrFilter(QueryFilters(fields={"lang": ["en"]})),
+        )
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_filtered"] = _bm25_attr_filtered
     q["bm25_not"] = lambda s, d: _bm25(s, d, ["spark"], k=10, not_terms=["join"])  # SO3 NOT
 
     def _bm25_synonyms(s, d):  # Q6 query-time synonym expansion

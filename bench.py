@@ -40,6 +40,8 @@ from nexlt_spark.query.exact import (
     run_query,
     score_postings,
 )
+from nexlt_spark.query.attrs import AttrFilter, save_doc_attrs
+from nexlt_spark.query.phrase_driver import phrase_topk
 from nexlt_spark.query.ranged import phrase_score_ranged
 from nexlt_spark.query.model import Query, QueryFilters
 from nexlt_spark.query.planner import topk as planner_topk
@@ -120,6 +122,7 @@ def main():
     # cluster-side flow benched for coverage.
     store_dir = os.path.join(tempfile.mkdtemp(prefix="nexlt_bench_"), "store")
     save_blocked(bidx, store_dir)
+    save_doc_attrs(documents, store_dir)  # fq sidecar (query/attrs.py)
     sidx = load_blocked_index(spark, store_dir)
 
     # ---- query latencies over the built index -----------------------------
@@ -193,6 +196,18 @@ def main():
                 documents, QueryFilters(roles=["user", "assistant"])
             ).select("doc_id"),
         ).collect(),
+        # r5: the same fq shape through the attr-filtered driver route
+        # (doc_attrs sidecar, zero Spark jobs — VERDICT r4 next #3;
+        # done-criterion: <= 2x q_planned_or)
+        "q_planned_filtered_attr": lambda: planner_topk(
+            sidx, ["data"], k=10, mode="or",
+            doc_filter=AttrFilter(QueryFilters(roles=["user", "assistant"])),
+        ).collect(),
+        # r5: driver phrase plan — leapfrog AND on skip data, positions
+        # fetched only for survivors' blocks (VERDICT r4 next #4)
+        "q_phrase_driver": lambda: phrase_topk(
+            sidx, ["the", "run"], k=10, as_rows=True
+        ),
     }
 
     # ---- pipeline ops over the sf tables ----------------------------------

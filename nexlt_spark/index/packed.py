@@ -75,17 +75,17 @@ PACKED_SCHEMA_POS = PACKED_SCHEMA + ", pos binary"
 _SENTINEL = ""
 
 # Arrow batch size for the BUILD actions (emit materialize, encode+
-# flush). The serving default stays at the session's 10k rows; the build
-# temporarily raises it so each JVM↔Python hop carries more work — the
-# r4 scaling forensics put the binding resource at host scheduler/IPC
-# latency on the syscall-heavy Arrow-socket path (BENCH.md §4), and hop
-# count scales inversely with batch size. 64k docs/batch ≈ 4M token
-# instances ≈ ~100-200 MB peak numpy per concurrent emit kernel — fine
-# at 8-32 workers on this box and on a 4-8 GB/executor cluster.
-# Results are batch-size-invariant: runs merge per (term, rsalt) group
-# and block boundaries depend only on docID order (tests/test_packed.py
-# asserts store equality across group_exec forms).
-BUILD_ARROW_BATCH_ROWS = int(os.environ.get("NEXLT_ARROW_BATCH_BUILD", "65536"))
+# flush) — results are batch-size-invariant (runs merge per (term,
+# rsalt) group; block boundaries depend only on docID order), so this
+# is purely a transport knob. A bandwidth-bound real-network cluster
+# may want bigger batches (fewer hops); the DEFAULT equals the session
+# default because the r5 measurement campaign (tools/ipc_probe.py,
+# BENCH.md §4 r5 subsection) found syscalls/turn INVARIANT to a 6.5×
+# batch raise (~0.16 rw-syscalls/turn either way — the r4 "syscall-
+# heavy pipeline" hypothesis did not survive direct measurement) and
+# the raised-batch+raised-buffer combination measured a 22% lower
+# 8-core median over 5 interleaved pairs on this host.
+BUILD_ARROW_BATCH_ROWS = int(os.environ.get("NEXLT_ARROW_BATCH_BUILD", "10000"))
 
 
 class _build_arrow_batch:

@@ -195,3 +195,97 @@ def rebase_documents(
         for d, off in zip(documents_per_shard, offsets)
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ---------------------------------------------------------------------------
+# Sharded DRIVER serving (r5): scatter-gather over per-shard skip-data
+# WAND with ExactStatsCache-global statistics
+# ---------------------------------------------------------------------------
+
+
+def _global_view(shard: BlockedIndex, stats: IndexStats) -> BlockedIndex:
+    """A per-shard searcher view whose collection statistics are the
+    GLOBAL ones (n_docs, avgdl) — the Solr ExactStatsCache analog for
+    the zero-Spark-job rows route. Memoized on the shard; shares the
+    shard's skip/decoded-block/θ caches (same store bytes), but keeps
+    its OWN term-meta cache, which sharded_topk_rows seeds with global
+    df so every shard scores with idf(N_global, df_global) — bitwise
+    the same float the unsharded searcher computes."""
+    view = getattr(shard, "_global_stats_view", None)
+    if view is not None and view.stats == stats:
+        return view
+    import dataclasses
+
+    view = dataclasses.replace(shard, stats=stats)
+    # share the byte-bounded caches that depend only on store bytes
+    for attr in ("_skip_cache", "_decoded_block_cache", "_theta_probe_cache",
+                 "_pa_dataset"):
+        val = getattr(shard, attr, None)
+        if val is not None:
+            setattr(view, attr, val)
+    shard._global_stats_view = view
+    return view
+
+
+def sharded_topk_rows(
+    sharded: ShardedIndex,
+    terms: List[str],
+    k: int = 10,
+    mode: str = "or",
+    boosts: Optional[Dict[str, float]] = None,
+    stats_out: Optional[dict] = None,
+) -> list:
+    """Distributed top-k through the DRIVER serving path: each shard
+    runs its own skip-data WAND (zero Spark jobs on warm pyarrow-backed
+    stores) under GLOBAL statistics, results merge by (score desc,
+    doc_id asc) — Solr's scatter-gather with ExactStatsCache, re-
+    expressed for the rows transport.
+
+    Rank- and score-identical to the unsharded searcher over the same
+    corpus (tests/test_sharded.py): global n_docs/avgdl come from the
+    combined stats, global df is seeded into each view's term-meta
+    cache, so every shard computes the exact same per-doc floats; docs
+    live in exactly one shard, so the merge is a disjoint union.
+
+    At 10^12 docs this is the production shape: one searcher process
+    per shard-replica, a thin aggregator doing this merge — QPS scales
+    with replicas, and per-query work stays candidate-bounded per shard
+    (tools/bench_qps.py --shards measures the single-process version).
+    """
+    from nexlt_spark.query.wand import _term_meta, wand_topk
+
+    qterms = sorted(set(terms))
+    # local metadata per shard (memoized on each shard) → global df
+    metas = [_term_meta(s, qterms) for s in sharded.shards]
+    gdf: Dict[str, int] = {}
+    for m in metas:
+        for t, v in m.items():
+            gdf[t] = gdf.get(t, 0) + v[0]
+    if not gdf or (mode == "and" and len(gdf) < len(qterms)):
+        return []
+    offs = sharded.doc_id_offsets or [0] * len(sharded.shards)
+    merged: list = []
+    for shard, meta, off in zip(sharded.shards, metas, offs):
+        if not meta:
+            continue  # no query term present in this shard
+        if mode == "and" and len(meta) < len(qterms):
+            continue  # conjunction cannot match here
+        view = _global_view(shard, sharded.stats)
+        cache = getattr(view, "_term_meta_cache", None)
+        if cache is None:
+            from nexlt_spark.lru import ByteLRU
+            from nexlt_spark.query.wand import _META_CACHE_MAX_BYTES
+
+            cache = ByteLRU(lambda: _META_CACHE_MAX_BYTES)
+            view._term_meta_cache = cache
+        for t, (df_local, mtf, nb, qs) in meta.items():
+            # global df + LOCAL block shape: idf becomes the global
+            # float; block-max bounds stay valid (local mtf × global
+            # idf ≥ any local contribution under global idf)
+            cache[t] = (gdf[t], mtf, nb, qs)
+        rows = wand_topk(view, terms, k=k, mode=mode, boosts=boosts, as_rows=True)
+        merged.extend((d + off, s) for d, s in rows)
+    merged.sort(key=lambda r: (-r[1], r[0]))
+    if stats_out is not None:
+        stats_out["shards_queried"] = sum(1 for m in metas if m)
+    return merged[:k]

@@ -129,6 +129,80 @@ def _score_kernel(
     return score
 
 
+def phrase_match_docs_np(
+    term_of_pos: np.ndarray,
+    doc_of_pos: np.ndarray,
+    pos_flat: np.ndarray,
+    phrase_tokens: List[str],
+    slop: int = 0,
+) -> np.ndarray:
+    """Vectorized phrase verify over flat per-token-instance arrays
+    (term, doc, position) → sorted unique doc_ids containing the phrase.
+
+    slop 0: shifted-intersect adjacency; slop > 0: greedy minimal-end
+    ordered windows — identical semantics to exact._phrase_alive_col
+    (asserted by the rank-identity tests). ONE implementation shared by
+    the ranged kernel and the driver phrase plan (query.phrase_driver),
+    so the executions cannot drift."""
+    if len(pos_flat) and pos_flat.max() >= _MAX_POS:
+        raise ValueError(
+            f"position {pos_flat.max()} exceeds the {POS_BITS}-bit phrase-key "
+            "budget — raise POS_BITS for corpora with >4M-token documents"
+        )
+    if len(doc_of_pos) and doc_of_pos.max() >= (1 << (63 - POS_BITS)):
+        # the fused (doc_id << POS_BITS) + pos key silently wraps past
+        # 2^(63-POS_BITS) doc_ids and would produce wrong phrase matches
+        # (ADVICE r2)
+        raise ValueError(
+            f"doc_id {doc_of_pos.max()} exceeds the {63 - POS_BITS}-bit "
+            "phrase-key budget — lower POS_BITS or renumber doc_ids"
+        )
+    if slop <= 0:
+        # adjacency: a doc matches iff ∃v present in every token's
+        # shifted position set — progressive intersect of fused
+        # (doc, pos-i) keys
+        alive = None
+        for i, t in enumerate(phrase_tokens):
+            m = (term_of_pos == t) & (pos_flat >= i)
+            keys = (doc_of_pos[m] << POS_BITS) + (pos_flat[m] - i)
+            alive = keys if alive is None else np.intersect1d(alive, keys)
+            if len(alive) == 0:
+                return np.zeros(0, dtype=np.int64)
+        return np.unique(alive >> POS_BITS)
+    # ordered sloppy window ("a b"~N): greedy minimal-end chains over the
+    # same fused keys. Fused keys sort by (doc, pos), so
+    # searchsorted(K_i, e, 'right') lands on the smallest key > e; if it
+    # belongs to the same doc it IS the greedy next step (optimal — a
+    # smaller valid next position never hurts later steps), otherwise the
+    # chain is broken. Wholly vectorized: one searchsorted per phrase
+    # token over all start positions.
+    per_tok = []
+    for t in phrase_tokens:
+        m = term_of_pos == t
+        per_tok.append(np.sort((doc_of_pos[m] << POS_BITS) + pos_flat[m]))
+    if any(len(k) == 0 for k in per_tok):
+        return np.zeros(0, dtype=np.int64)
+    starts = per_tok[0]
+    ends = starts.copy()
+    broken = np.zeros(len(starts), dtype=bool)
+    sent = np.int64((1 << 62) - 1)  # searchsorted past any real key
+    for ki in per_tok[1:]:
+        idx = np.searchsorted(ki, ends, side="right")
+        valid = idx < len(ki)
+        cand = ki[np.minimum(idx, len(ki) - 1)]
+        same_doc = valid & ((cand >> POS_BITS) == (ends >> POS_BITS))
+        broken |= ~same_doc
+        ends = np.where(same_doc, cand, sent)
+    ntoks = len(phrase_tokens)
+    ok = ~broken & (
+        (ends & (_MAX_POS - 1)) - (starts & (_MAX_POS - 1)) - (ntoks - 1)
+        <= slop
+    )
+    if not ok.any():
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(starts[ok] >> POS_BITS)
+
+
 def _phrase_kernel(
     phrase_tokens: List[str],
     terms_sorted: List[str],
@@ -141,66 +215,11 @@ def _phrase_kernel(
         term_of, ids, tfs, dls, pos_flat = _decode_group(pdf, positions=True)
         tfs64 = tfs.astype(np.int64)
         posting_of = np.repeat(np.arange(len(ids), dtype=np.int64), tfs64)
-        doc_of_pos = ids[posting_of]
-        term_of_pos = term_of[posting_of]
-        if len(pos_flat) and pos_flat.max() >= _MAX_POS:
-            raise ValueError(
-                f"position {pos_flat.max()} exceeds the {POS_BITS}-bit phrase-key "
-                "budget — raise POS_BITS for corpora with >4M-token documents"
-            )
-        if len(ids) and ids.max() >= (1 << (63 - POS_BITS)):
-            # mirror of the position guard: the fused (doc_id << POS_BITS)
-            # + pos key silently wraps past 2^(63-POS_BITS) doc_ids and
-            # would produce wrong phrase matches (ADVICE r2)
-            raise ValueError(
-                f"doc_id {ids.max()} exceeds the {63 - POS_BITS}-bit phrase-key "
-                "budget — lower POS_BITS or renumber doc_ids"
-            )
-        if slop <= 0:
-            # adjacency: a doc matches iff ∃v present in every token's
-            # shifted position set — progressive intersect of fused
-            # (doc, pos-i) keys
-            alive = None
-            for i, t in enumerate(phrase_tokens):
-                m = (term_of_pos == t) & (pos_flat >= i)
-                keys = (doc_of_pos[m] << POS_BITS) + (pos_flat[m] - i)
-                alive = keys if alive is None else np.intersect1d(alive, keys)
-                if len(alive) == 0:
-                    return _empty_scored()
-            pdocs = np.unique(alive >> POS_BITS)
-        else:
-            # ordered sloppy window ("a b"~N): greedy minimal-end chains
-            # over the same fused keys. Fused keys sort by (doc, pos), so
-            # searchsorted(K_i, e, 'right') lands on the smallest key > e;
-            # if it belongs to the same doc it IS the greedy next step
-            # (optimal — a smaller valid next position never hurts later
-            # steps), otherwise the chain is broken. Wholly vectorized:
-            # one searchsorted per phrase token over all start positions.
-            per_tok = []
-            for t in phrase_tokens:
-                m = term_of_pos == t
-                per_tok.append(np.sort((doc_of_pos[m] << POS_BITS) + pos_flat[m]))
-            if any(len(k) == 0 for k in per_tok):
-                return _empty_scored()
-            starts = per_tok[0]
-            ends = starts.copy()
-            broken = np.zeros(len(starts), dtype=bool)
-            sent = np.int64((1 << 62) - 1)  # searchsorted past any real key
-            for ki in per_tok[1:]:
-                idx = np.searchsorted(ki, ends, side="right")
-                valid = idx < len(ki)
-                cand = ki[np.minimum(idx, len(ki) - 1)]
-                same_doc = valid & ((cand >> POS_BITS) == (ends >> POS_BITS))
-                broken |= ~same_doc
-                ends = np.where(same_doc, cand, sent)
-            ntoks = len(phrase_tokens)
-            ok = ~broken & (
-                (ends & (_MAX_POS - 1)) - (starts & (_MAX_POS - 1)) - (ntoks - 1)
-                <= slop
-            )
-            if not ok.any():
-                return _empty_scored()
-            pdocs = np.unique(starts[ok] >> POS_BITS)
+        pdocs = phrase_match_docs_np(
+            term_of[posting_of], ids[posting_of], pos_flat, phrase_tokens, slop
+        )
+        if len(pdocs) == 0:
+            return _empty_scored()
         # fold only the phrase-matching docs: a head-term phrase ("the
         # run") otherwise pays the full-range fold and then discards
         # nearly all of it. Masking postings first folds the same

@@ -40,15 +40,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # JVM↔Python socket buffers (both sides read spark.buffer.size:
         # PythonRunner's BufferedOutputStream and the worker's
-        # sock.makefile via SPARK_BUFFER_SIZE). The 64 KiB default costs
-        # one write+read syscall pair per 64 KiB of Arrow traffic; at
-        # 1 MiB the same traffic crosses in 16× fewer syscalls — the
-        # r4 scaling forensics isolated host scheduler/IPC latency on
-        # exactly this syscall-heavy socket path as the binding resource
-        # (BENCH.md §4), so the pipeline now does fewer, larger hops.
+        # sock.makefile via SPARK_BUFFER_SIZE). Tunable because a real
+        # network shuffle may want larger buffers; the DEFAULT stays at
+        # Spark's 64 KiB because the r5 measurement campaign
+        # (tools/ipc_probe.py, BENCH.md §4 r5 subsection) REFUTED the
+        # r4 syscall hypothesis on this box: the whole 4.5M-turn build
+        # issues only ~0.15-0.17 read/write syscalls and ~0.02 voluntary
+        # context switches per turn, invariant to a 16× buffer raise,
+        # and the 16×-buffer + 6.5×-Arrow-batch combination measured a
+        # 22% LOWER 8-core median over 5 interleaved pairs.
         .config(
             "spark.buffer.size",
-            os.environ.get("NEXLT_BUFFER_SIZE", str(1024 * 1024)),
+            os.environ.get("NEXLT_BUFFER_SIZE", "65536"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         # Deterministic timestamp behavior for parquet round-trips.

@@ -157,3 +157,80 @@ def test_mixed_analyzers_rejected(documents):
 def test_offsets_shapes(single):
     assert disjoint_offsets([single, single]) == [0, single.stats.n_docs]
     assert disjoint_offsets([single, single], stride=1 << 20) == [0, 1 << 20]
+
+
+# ---- r5: sharded DRIVER serving (scatter-gather rows, global stats) -------
+
+
+@pytest.fixture(scope="module")
+def disk_shards(spark, documents, tmp_path_factory):
+    """3 on-disk shard stores + the unsharded on-disk store over the
+    same corpus — the rows-path serving shape."""
+    from nexlt_spark.index.blocks import load_blocked_index
+    from nexlt_spark.index.packed import save_blocked
+
+    base = tmp_path_factory.mktemp("rows_shards")
+    paths = []
+    for i in range(3):
+        p = str(base / f"shard{i}")
+        save_blocked(
+            build_blocked_direct(
+                documents.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            ),
+            p,
+        )
+        paths.append(p)
+    gp = str(base / "global")
+    save_blocked(build_blocked_direct(documents), gp)
+    shards = combine_shards([load_blocked_index(spark, p) for p in paths])
+    return shards, load_blocked_index(spark, gp)
+
+
+ROWS_QUERIES = [
+    (["spark"], "or", 15),
+    (["the"], "or", 15),
+    (["spark", "join"], "and", 15),
+    (["spark", "index", "merge"], "or", 15),
+    (["w1998"], "or", 10),
+    (["nosuchterm"], "or", 10),
+    (["the", "nosuchterm"], "and", 10),
+]
+
+
+@pytest.mark.parametrize("terms,mode,k", ROWS_QUERIES)
+def test_sharded_rows_rank_identity(disk_shards, terms, mode, k):
+    """sharded_topk_rows ≡ the unsharded driver rows path: global
+    df/avgdl seeding makes every per-doc float identical, docs live in
+    exactly one shard, so the merged top-k matches exactly."""
+    from nexlt_spark.index.sharded import sharded_topk_rows
+    from nexlt_spark.query.wand import wand_topk
+
+    shards, gstore = disk_shards
+    got = sharded_topk_rows(shards, terms, k=k, mode=mode)
+    want = wand_topk(gstore, terms, k=k, mode=mode, as_rows=True)
+    assert got == want, (terms, mode)
+
+
+def test_sharded_rows_boosts(disk_shards):
+    from nexlt_spark.index.sharded import sharded_topk_rows
+    from nexlt_spark.query.wand import wand_topk
+
+    shards, gstore = disk_shards
+    boosts = {"merge": 4.0}
+    got = sharded_topk_rows(shards, ["spark", "merge"], k=10, boosts=boosts)
+    want = wand_topk(gstore, ["spark", "merge"], k=10, boosts=boosts, as_rows=True)
+    assert got == want
+
+
+def test_sharded_rows_zero_spark_jobs_when_warm(disk_shards, spark):
+    """On warm pyarrow-backed shards the scatter-gather schedules no
+    Spark jobs — the whole query is driver-side numpy + pyarrow."""
+    from nexlt_spark.index.sharded import sharded_topk_rows
+
+    shards, _ = disk_shards
+    sharded_topk_rows(shards, ["spark", "index"], k=10)  # warm caches
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    sharded_topk_rows(shards, ["spark", "index"], k=10)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)

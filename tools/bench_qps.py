@@ -84,6 +84,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="serve through N on-disk shards (scatter-gather "
+                         "driver rows, ExactStatsCache-global stats) "
+                         "instead of the single store")
     args = ap.parse_args()
     levels = [int(x) for x in args.threads.split(",")]
 
@@ -102,6 +106,17 @@ def main() -> None:
     store = os.path.join(tempfile.mkdtemp(prefix="nexlt_qps_"), "store")
     save_blocked(bidx, store)
     sidx = load_blocked_index(spark, store)
+    sharded = None
+    if args.shards:
+        from nexlt_spark.index.sharded import combine_shards
+
+        sdirs = []
+        for i in range(args.shards):
+            part = documents.where(F.pmod(F.col("doc_id"), F.lit(args.shards)) == i)
+            sdir = os.path.join(tempfile.mkdtemp(prefix=f"nexlt_qps_sh{i}_"), "store")
+            save_blocked(build_blocked_direct(part), sdir)
+            sdirs.append(sdir)
+        sharded = combine_shards([load_blocked_index(spark, d) for d in sdirs])
 
     # vocabulary by df (one job, outside the timers)
     rows = sidx.term_stats.select("term", "df").collect()
@@ -119,7 +134,12 @@ def main() -> None:
     for terms, mode in workload:
         routes[choose_topk_path(sidx, terms, args.k, mode)] += 1
     for terms, mode in {(tuple(t), m): None for t, m in workload}:
-        planner_topk(sidx, list(terms), k=args.k, mode=mode).collect()
+        if sharded is not None:
+            from nexlt_spark.index.sharded import sharded_topk_rows
+
+            sharded_topk_rows(sharded, list(terms), k=args.k, mode=mode)
+        else:
+            planner_topk(sidx, list(terms), k=args.k, mode=mode).collect()
 
     def serve(q):
         # the searcher serving shape: routed rows, no DataFrame/py4j on
@@ -127,6 +147,12 @@ def main() -> None:
         terms, mode = q
         stats = {}
         t0 = time.perf_counter()
+        if sharded is not None:
+            from nexlt_spark.index.sharded import sharded_topk_rows
+
+            sharded_topk_rows(sharded, terms, k=args.k, mode=mode,
+                              stats_out=stats)
+            return time.perf_counter() - t0, "sharded"
         planner_topk_rows(sidx, terms, k=args.k, mode=mode, stats_out=stats)
         return time.perf_counter() - t0, stats.get("path", "?")
 
@@ -166,6 +192,7 @@ def main() -> None:
                 "k": args.k,
                 "levels": out_levels,
                 "routes": routes,
+                "shards": args.shards or None,
                 "cpus": args.cpus,
             }
         )
