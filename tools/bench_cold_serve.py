@@ -52,41 +52,34 @@ def drop_page_cache() -> bool:
         return False
 
 
-class ReadLatencyShim:
-    """Wrap pyarrow dataset fetches with a fixed added latency per call
-    — the object-store GET emulation. Patches the three driver-side
-    read entry points (block payload fetch, metadata scan, attr scan)."""
+class SlowDataset:
+    """Delegating proxy over a pyarrow dataset adding a fixed latency
+    per fetch call — the object-store GET emulation (pyarrow's dataset
+    classes are immutable C types, so the proxy replaces the index's
+    MEMOIZED dataset handle instead of patching the class)."""
 
-    def __init__(self, ms: float):
-        self.sec = ms / 1000.0
-        self._orig = None
+    def __init__(self, ds, sec: float):
+        self._ds, self._sec = ds, sec
 
-    def __enter__(self):
-        import pyarrow.dataset as pds
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
 
-        self._cls = pds.FileSystemDataset
-        self._orig_to_table = self._cls.to_table
-        self._orig_scanner = self._cls.scanner
-        sec = self.sec
-        orig_to_table = self._orig_to_table
+    def to_table(self, *a, **k):
+        time.sleep(self._sec)
+        return self._ds.to_table(*a, **k)
 
-        def to_table(ds_self, *a, **k):
-            time.sleep(sec)
-            return orig_to_table(ds_self, *a, **k)
+    def scanner(self, *a, **k):
+        time.sleep(self._sec)
+        return self._ds.scanner(*a, **k)
 
-        orig_scanner = self._orig_scanner
 
-        def scanner(ds_self, *a, **k):
-            time.sleep(sec)
-            return orig_scanner(ds_self, *a, **k)
+def shim_index(bidx, ms: float):
+    """Force-materialize the driver dataset handle, then wrap it."""
+    from nexlt_spark.query.wand import _pa_ds
 
-        self._cls.to_table = to_table
-        self._cls.scanner = scanner
-        return self
-
-    def __exit__(self, *exc):
-        self._cls.to_table = self._orig_to_table
-        self._cls.scanner = self._orig_scanner
+    _pa_ds(bidx)  # memoizes bidx._pa_dataset
+    bidx._pa_dataset = SlowDataset(bidx._pa_dataset, ms / 1000.0)
+    return bidx
 
 
 def main() -> None:
@@ -159,32 +152,58 @@ def main() -> None:
     # ---- shimmed: warm page cache, per-read latency injected ----------
     for ms in (float(x) for x in args.shims_ms.split(",")):
         shimmed = {}
-        with ReadLatencyShim(ms):
-            for name in SHAPES:
-                lats = [
-                    run_query(fresh_index(), name)[0] for _ in range(args.trials)
-                ]
-                shimmed[name] = round(statistics.median(lats), 4)
+        for name in SHAPES:
+            lats = [
+                run_query(shim_index(fresh_index(), ms), name)[0]
+                for _ in range(args.trials)
+            ]
+            shimmed[name] = round(statistics.median(lats), 4)
         results[f"shim_{ms:g}ms"] = shimmed
 
     # ---- derive planner constants per regime --------------------------
-    # floor = the lightest shape's latency; rate from the heaviest OR.
+    # DRIVER-routed shapes only (the unfiltered single-term shape routes
+    # to the exact Spark plan by design — including it would corrupt the
+    # driver-plan floor/rate fit). floor = lightest driver shape; rate =
+    # Δpostings/Δsec between the lightest and heaviest driver shapes;
+    # reads/query from the latency delta between shim regimes (every
+    # added ms/read multiplies the per-query fetch count).
     meta = {}
     bidx = fresh_index()
+    from nexlt_spark.query.planner import choose_topk_path
     from nexlt_spark.query.wand import _term_meta
 
+    driver_shapes = [
+        nm
+        for nm, (terms, mode) in SHAPES.items()
+        if choose_topk_path(bidx, terms, 10, mode) == "wand"
+    ]
     for name, (terms, _) in SHAPES.items():
         meta[name] = sum(m[0] for m in _term_meta(bidx, sorted(set(terms))).values())
     consts = {}
     for regime, lat in results.items():
-        floor = min(lat.values())
-        heavy = max(meta, key=lambda nm: meta[nm])
-        light = min(meta, key=lambda nm: meta[nm])
-        dp, dt = meta[heavy] - meta[light], lat[heavy] - lat[light]
+        dl = {nm: lat[nm] for nm in driver_shapes}
+        if not dl:
+            continue
+        floor = min(dl.values())
+        heavy = max(driver_shapes, key=lambda nm: meta[nm])
+        light = min(driver_shapes, key=lambda nm: meta[nm])
+        dp, dt = meta[heavy] - meta[light], dl[heavy] - dl[light]
         consts[regime] = {
             "floor_sec": round(floor, 4),
             "rate_postings_per_sec": round(dp / dt) if dt > 1e-4 else None,
         }
+    # per-query pyarrow fetch count: slope of added latency vs shim ms
+    reads = {}
+    shim_ms = sorted(float(x) for x in args.shims_ms.split(","))
+    for nm in driver_shapes:
+        base = results["warm"][nm]
+        est = [
+            (results[f"shim_{ms:g}ms"][nm] - base) / (ms / 1000.0)
+            for ms in shim_ms
+            if f"shim_{ms:g}ms" in results
+        ]
+        if est:
+            reads[nm] = round(statistics.median(est), 1)
     print(
         json.dumps(
             {
@@ -193,6 +212,8 @@ def main() -> None:
                 "trials": args.trials,
                 "latency_sec": results,
                 "postings_per_shape": meta,
+                "driver_routed_shapes": driver_shapes,
+                "reads_per_query_est": reads,
                 "derived_constants": consts,
             }
         )
