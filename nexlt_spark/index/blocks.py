@@ -205,6 +205,12 @@ class BlockedIndex:
     # negative entries and let positives grow with the vocabulary)
     _TERM_CACHE_MAX_BYTES = 32 * 1024 * 1024
 
+    # negative (term-absent) entries live in their OWN bounded FIFO so a
+    # stream of distinct OOV strings (typos, adversarial input) can never
+    # evict the hot POSITIVE dictionary by recency (review r5 — same
+    # policy as query.wand's _note_negative)
+    _TERM_NEG_CACHE_CAP = 50_000
+
     def __post_init__(self) -> None:
         # driver-side term-dictionary cache: term → (df, term_bucket).
         # A Lucene/Solr searcher resolves term stats from an in-process
@@ -212,9 +218,14 @@ class BlockedIndex:
         # tiny per-query metadata jobs (df lookup + bucket discovery)
         # into one, amortized across repeated terms. ByteLRU: byte-
         # bounded and lock-protected (concurrent searcher threads).
+        import threading
+        from collections import OrderedDict
+
         from nexlt_spark.lru import ByteLRU
 
         self._term_cache = ByteLRU(lambda: self._TERM_CACHE_MAX_BYTES)
+        self._term_negs: OrderedDict = OrderedDict()
+        self._term_negs_lock = threading.Lock()
 
     @property
     def _decoded_block_bytes(self) -> int:
@@ -235,7 +246,14 @@ class BlockedIndex:
         concurrent serving traffic), so callers never re-read the cache."""
         out: dict[str, tuple[int, int | None]] = {}
         missing = []
+        with self._term_negs_lock:
+            negs = self._term_negs
+            for t in set(terms):
+                if t in negs:
+                    out[t] = (0, None)
         for t in set(terms):
+            if t in out:
+                continue
             v = self._term_cache.get(t)
             if v is None:
                 missing.append(t)
@@ -252,9 +270,16 @@ class BlockedIndex:
                 r["df"],
                 r["term_bucket"] if "term_bucket" in cols else None,
             )
-        for t in missing:  # negative-cache absent terms
-            v = out.setdefault(t, (0, None))
-            self._term_cache[t] = v
+        for t in missing:
+            v = out.get(t)
+            if v is not None:
+                self._term_cache[t] = v  # positives: byte-bounded LRU
+            else:
+                out[t] = (0, None)
+                with self._term_negs_lock:  # negatives: bounded FIFO
+                    self._term_negs[t] = None
+                    if len(self._term_negs) > self._TERM_NEG_CACHE_CAP:
+                        self._term_negs.popitem(last=False)
         return out
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:

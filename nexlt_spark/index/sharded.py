@@ -234,6 +234,7 @@ def sharded_topk_rows(
     mode: str = "or",
     boosts: Optional[Dict[str, float]] = None,
     stats_out: Optional[dict] = None,
+    candidate_cap: Optional[int] = None,
 ) -> list:
     """Distributed top-k through the DRIVER serving path: each shard
     runs its own skip-data WAND (zero Spark jobs on warm pyarrow-backed
@@ -283,7 +284,19 @@ def sharded_topk_rows(
             # float; block-max bounds stay valid (local mtf × global
             # idf ≥ any local contribution under global idf)
             cache[t] = (gdf[t], mtf, nb, qs)
-        rows = wand_topk(view, terms, k=k, mode=mode, boosts=boosts, as_rows=True)
+        # seed the TERM DICTIONARY with global df too (local bucket):
+        # a per-shard exact fallback (candidate-cap overflow) scores via
+        # score_postings → term_dfs, which must see the same global df
+        # or that shard's floats land on a different scale than its
+        # siblings' (review r5 — the per-shard-IDF bug ExactStatsCache
+        # exists to prevent)
+        local_dict = shard._resolve_terms(qterms)
+        for t, (df_local, bucket) in local_dict.items():
+            if df_local > 0 and t in gdf:
+                view._term_cache[t] = (gdf[t], bucket)
+        kw = {} if candidate_cap is None else {"candidate_cap": candidate_cap}
+        rows = wand_topk(view, terms, k=k, mode=mode, boosts=boosts,
+                         as_rows=True, **kw)
         merged.extend((d + off, s) for d, s in rows)
     merged.sort(key=lambda r: (-r[1], r[0]))
     if stats_out is not None:

@@ -51,10 +51,15 @@ class AttrFilter:
     """A driver-evaluable fq filter: wraps QueryFilters for routes that
     can intersect candidates against the doc-attribute sidecar without a
     Spark job. Falls back to a DataFrame filter wherever the sidecar or
-    a pyarrow-readable store is unavailable."""
+    a pyarrow-readable store is unavailable — the fallback needs a
+    source for the attribute columns, so either the store carries the
+    sidecar or the caller passes ``documents`` here; with neither, a
+    filtered query raises rather than silently ignoring the filter
+    (review r5)."""
 
-    def __init__(self, filters: QueryFilters):
+    def __init__(self, filters: QueryFilters, documents=None):
         self.filters = filters
+        self.documents = documents
 
     def is_empty(self) -> bool:
         return self.filters.is_empty()
@@ -97,19 +102,20 @@ def save_doc_attrs(documents, path: str, row_group_bytes: int = 1 << 20) -> None
 
 def _pa_attrs(bidx):
     """Memoized pyarrow.dataset over the sidecar, or None (no local
-    store / no sidecar written)."""
+    store / no sidecar written). Only POSITIVE finds are memoized — a
+    sidecar written AFTER the index was loaded (save_doc_attrs on a
+    live store) must become visible on the next query, not require a
+    reload (review r5: the old negative memo was permanent)."""
     ds = getattr(bidx, "_pa_attrs_dataset", None)
     if ds is not None:
-        return ds if ds != "missing" else None
+        return ds
     path = getattr(bidx, "store_path", None)
     if not path:
-        bidx._pa_attrs_dataset = "missing"
         return None
     from nexlt_spark.fs import local_path
 
     lp = local_path(path)
     if lp is None:
-        bidx._pa_attrs_dataset = "missing"
         return None
     import os
 
@@ -117,8 +123,7 @@ def _pa_attrs(bidx):
 
     apath = os.path.join(lp, ATTRS_DIR)
     if not os.path.isdir(apath):
-        bidx._pa_attrs_dataset = "missing"
-        return None
+        return None  # re-probed per call: one isdir syscall
     ds = pds.dataset(apath, format="parquet")
     bidx._pa_attrs_dataset = ds
     return ds

@@ -303,7 +303,7 @@ def _exact_filter_df(bidx, doc_filter):
     if isinstance(doc_filter, AttrFilter):
         from nexlt_spark.query.attrs import to_doc_filter_df
 
-        return to_doc_filter_df(bidx, doc_filter.filters)
+        return to_doc_filter_df(bidx, doc_filter.filters, doc_filter.documents)
     return doc_filter
 
 

@@ -503,14 +503,23 @@ def _driver_theta_probe(
     avgdl: float,
     k: int,
     blocks_q: Optional[DataFrame] = None,
+    attr_f=None,
 ) -> Tuple[float, int]:
-    """θ lower bound for the unfiltered driver OR flow: decode the probe
-    blocks and take the k-th partial score. Memoized on the index object
-    keyed by (terms, idfs, k) — the planner's rehearsal and the execution
+    """θ lower bound for the driver OR flow: decode the probe blocks and
+    take the k-th partial score. With ``attr_f`` (an AttrFilter), partial
+    scores are masked to sidecar-passing docs BEFORE the k-th is taken —
+    θ then lower-bounds the FILTERED k-th exact score (admissibility);
+    one implementation serves both regimes so the admissibility-critical
+    k-th computation cannot drift between them (review r5).
+
+    Memoized on the index object keyed by (terms, idfs, avgdl, k
+    [, filter identity]) — the planner's rehearsal and the execution
     read the SAME probe blocks, so plan-then-execute pays for one probe
-    decode, not two (review r3: the rehearsal redid the identical
-    read+decode+fold). idf values are part of the key because query-time
-    boosts scale them. Returns (theta, probe_postings)."""
+    decode, not two. idf values are in the key because query-time boosts
+    scale them; avgdl is in the key because sharded global-stats views
+    SHARE this cache with their parent shard under a different avgdl
+    (review r5: idf-tuple float collisions across the two would
+    otherwise serve the wrong θ). Returns (theta, probe_postings)."""
     cache = getattr(bidx, "_theta_probe_cache", None)
     if cache is None:
         # ByteLRU: entries are tiny (theta, postings) tuples, but get/
@@ -518,7 +527,9 @@ def _driver_theta_probe(
         # share this cache (tools/bench_qps.py)
         cache = ByteLRU(lambda: _THETA_CACHE_MAX_BYTES)
         bidx._theta_probe_cache = cache
-    key = (tuple(present), tuple(idfs[t] for t in present), k)
+    key = (tuple(present), tuple(idfs[t] for t in present), avgdl, k) + (
+        (attr_f.key(),) if attr_f is not None else ()
+    )
     hit = cache.get(key)
     if hit is not None:
         return hit
@@ -527,6 +538,12 @@ def _driver_theta_probe(
 
     probe_keys, probe_postings = _probe_block_keys(sd, idfs, present)
     term_of, ids, tfs, dls = _collect_decode(bidx, blocks_q, probe_keys)
+    if attr_f is not None and ids.size:
+        from nexlt_spark.query.attrs import attr_passing_ids
+
+        keep = attr_passing_ids(bidx, attr_f.filters, np.unique(ids))
+        m = np.isin(ids, keep, assume_unique=False)
+        term_of, ids, tfs, dls = term_of[m], ids[m], tfs[m], dls[m]
     if ids.size:
         _, psc, _ = _fold_scores_np(
             term_of, ids, tfs, dls, sorted(present), idfs, avgdl
@@ -534,43 +551,6 @@ def _driver_theta_probe(
         theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
     else:
         theta = 0.0
-    cache[key] = (theta, probe_postings)
-    return theta, probe_postings
-
-
-def _driver_theta_probe_filtered(
-    bidx, sd, present, idfs, avgdl, k, blocks_q, attr_f
-) -> Tuple[float, int]:
-    """θ lower bound for the ATTR-FILTERED driver OR flow: identical
-    probe blocks to _driver_theta_probe, but partial scores are masked
-    to sidecar-passing docs BEFORE the k-th is taken — θ then
-    lower-bounds the filtered k-th exact score (admissibility). Memoized
-    under a key that includes the filter's identity; the decoded probe
-    payloads themselves come from the shared block LRU, so a filtered
-    and an unfiltered probe of the same terms share the fetch."""
-    cache = getattr(bidx, "_theta_probe_cache", None)
-    if cache is None:
-        cache = ByteLRU(lambda: _THETA_CACHE_MAX_BYTES)
-        bidx._theta_probe_cache = cache
-    key = (tuple(present), tuple(idfs[t] for t in present), k, attr_f.key())
-    hit = cache.get(key)
-    if hit is not None:
-        return hit
-
-    from nexlt_spark.query.attrs import attr_passing_ids
-    from nexlt_spark.query.ranged import _fold_scores_np
-
-    probe_keys, probe_postings = _probe_block_keys(sd, idfs, present)
-    term_of, ids, tfs, dls = _collect_decode(bidx, blocks_q, probe_keys)
-    theta = 0.0
-    if ids.size:
-        keep = attr_passing_ids(bidx, attr_f.filters, np.unique(ids))
-        m = np.isin(ids, keep, assume_unique=False)
-        if m.any():
-            _, psc, _ = _fold_scores_np(
-                term_of[m], ids[m], tfs[m], dls[m], sorted(present), idfs, avgdl
-            )
-            theta = float(np.partition(psc, -k)[-k]) if psc.size >= k else 0.0
     cache[key] = (theta, probe_postings)
     return theta, probe_postings
 
@@ -948,7 +928,7 @@ def wand_topk(
         elif (
             not use_driver or _pa_ds(bidx) is None or not has_attrs(bidx)
         ):
-            doc_filter = to_doc_filter_df(bidx, attr_f.filters)
+            doc_filter = to_doc_filter_df(bidx, attr_f.filters, attr_f.documents)
             attr_f = None
         else:
             doc_filter = None  # the driver flow applies the filter itself
@@ -1046,7 +1026,7 @@ def _wand_topk_driver(
         if doc_filter is not None:
             return doc_filter
         if attr_f is not None:
-            return to_doc_filter_df(bidx, attr_f.filters)
+            return to_doc_filter_df(bidx, attr_f.filters, attr_f.documents)
         return None
 
     if mode == "and":
@@ -1110,7 +1090,7 @@ def _wand_topk_driver(
             # passing docs BEFORE taking the k-th — admissible (the
             # filtered k-th partial ≤ the filtered k-th exact score;
             # fewer survivors only LOWER θ, widening kept blocks)
-            theta, _ = _driver_theta_probe_filtered(
+            theta, _ = _driver_theta_probe(
                 bidx, sd, present, idfs, avgdl, k, blocks_q, attr_f
             )
         elif doc_filter is None:

@@ -234,3 +234,18 @@ def test_sharded_rows_zero_spark_jobs_when_warm(disk_shards, spark):
     sharded_topk_rows(shards, ["spark", "index"], k=10)
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before)
+
+
+def test_sharded_rows_exact_fallback_keeps_global_stats(disk_shards):
+    """A per-shard candidate-cap overflow routes that shard through the
+    exact fallback — its scores must STILL be on the global-stats scale
+    (review r5: score_postings reads term_dfs, which the view seeds
+    with global df)."""
+    from nexlt_spark.index.sharded import sharded_topk_rows
+    from nexlt_spark.query.wand import wand_topk
+
+    shards, gstore = disk_shards
+    # cap=1 forces the overflow fallback inside every shard
+    got = sharded_topk_rows(shards, ["the", "error"], k=15, candidate_cap=1)
+    want = wand_topk(gstore, ["the", "error"], k=15, as_rows=True)
+    assert got == want
